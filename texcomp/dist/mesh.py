@@ -1,0 +1,97 @@
+"""Device-mesh sharding for batched texture compression.
+
+Parallelism axes (the codec analog of dp/tp; see SURVEY.md section 2 — the
+reference has no parallel referent, so these are designed TPU-first):
+
+  * "data": shards a batch of images across chips. No communication on the
+    encode path; ICI collectives (psum) only aggregate quality metrics.
+  * "block": shards the block axis of a single huge atlas across chips —
+    blocks are independent in every codec here, so this is a pure split
+    (PVRTC's low-res A/B images are replicated; they are 1/32 of the image).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from texcomp.codecs import dxt
+
+
+def make_mesh(n_devices: int | None = None, data: int | None = None,
+              block: int = 1) -> Mesh:
+    """Build a (data, block) mesh over the first n_devices devices."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if data is None:
+        data = n_devices // block
+    assert data * block <= len(devices)
+    dev = np.array(devices[: data * block]).reshape(data, block)
+    return Mesh(dev, axis_names=("data", "block"))
+
+
+def _image_to_blocks(image: jax.Array) -> jax.Array:
+    """(H, W, 3) uint8 -> (N, 16, 3) int32; H, W multiples of 4 (aligned
+    batches; ragged sizes are handled by the per-image API path)."""
+    h, w, c = image.shape
+    img = image.astype(jnp.int32)
+    blk = img.reshape(h // 4, 4, w // 4, 4, c).transpose(0, 2, 1, 3, 4)
+    return blk.reshape(-1, 16, c)
+
+
+def dxt1_encode_batch(images: jax.Array) -> jax.Array:
+    """(B, H, W, 3) uint8 -> (B, N, 8) uint8 DXT1 payloads."""
+    blocks = jax.vmap(_image_to_blocks)(images)
+    return jax.vmap(lambda b: dxt.encode_dxt1_blocks(b))(blocks)
+
+
+def dxt1_pipeline_sharded(images: jax.Array, mesh: Mesh) -> jax.Array:
+    """Encode a batch of images data-parallel over the mesh."""
+    in_s = NamedSharding(mesh, P("data"))
+    out_s = NamedSharding(mesh, P("data"))
+    fn = jax.jit(dxt1_encode_batch, in_shardings=in_s, out_shardings=out_s)
+    return fn(images)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _step(images, mesh):
+    """One full sharded pipeline step: encode + decode + quality metric.
+
+    Images are sharded over "data"; each image's block axis is additionally
+    sharded over "block" (blocks are independent). The PSNR reduction is the
+    only cross-chip communication (a psum-style mean over the full batch).
+    """
+    spec_img = NamedSharding(mesh, P("data"))
+    images = jax.lax.with_sharding_constraint(images, spec_img)
+
+    blocks = jax.vmap(_image_to_blocks)(images)  # (B, N, 16, 3)
+    blocks = jax.lax.with_sharding_constraint(
+        blocks, NamedSharding(mesh, P("data", "block"))
+    )
+    encoded = jax.vmap(lambda b: dxt.encode_dxt1_blocks(b))(blocks)
+    decoded = jax.vmap(lambda d: dxt.decode_dxt1_blocks(d))(encoded)
+
+    err = (decoded - blocks).astype(jnp.float32)
+    mse = jnp.mean(err * err)  # global mean -> all-reduce over the mesh
+    psnr = 10.0 * jnp.log10(255.0**2 / jnp.maximum(mse, 1e-9))
+    return encoded, psnr
+
+
+def training_step_multichip(n_devices: int) -> None:
+    """Dry-run entry: build an n-device mesh, jit the full sharded step, and
+    execute one step on tiny shapes. Used by __graft_entry__.dryrun_multichip
+    to validate the multi-chip path compiles + runs on a virtual mesh."""
+    block = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+    mesh = make_mesh(n_devices, data=n_devices // block, block=block)
+    b = max(1, n_devices // block)
+    images = jnp.arange(b * 16 * 16 * 3, dtype=jnp.int32).astype(jnp.uint8)
+    images = images.reshape(b, 16, 16, 3)
+    with mesh:
+        encoded, psnr = _step(images, mesh)
+        jax.block_until_ready((encoded, psnr))
+    assert encoded.shape == (b, 16, 8)

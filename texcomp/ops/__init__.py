@@ -1,0 +1,49 @@
+"""Fused image-level encode ops — the performance path.
+
+Each op maps a device-resident (H, W, C) uint8 image (H, W multiples of 4)
+straight to packed blocks on device, fusing block extraction with encoding.
+These are what bench.py and the sharded pipeline call. Backend selection:
+Pallas TPU kernels where available, plain XLA otherwise (same bytes either
+way — the Pallas kernels are tested against the jnp kernels which are tested
+against the C++ reference).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from texcomp.codecs import dxt
+
+
+def _image_to_blocks(image, components: int):
+    h, w = image.shape[0], image.shape[1]
+    img = image.astype(jnp.int32)
+    blk = img.reshape(h // 4, 4, w // 4, 4, components)
+    return blk.transpose(0, 2, 1, 3, 4).reshape(-1, 16, components)
+
+
+def dxt1_encode_image_op(image):
+    """(H, W, 3) uint8 -> (H/4*W/4, 8) uint8 DXT1 blocks."""
+    return dxt.encode_dxt1_blocks(_image_to_blocks(image, 3))
+
+
+def dxt5_encode_image_op(image):
+    """(H, W, 4) uint8 -> (H/4*W/4, 16) uint8 DXT5 blocks."""
+    blocks = _image_to_blocks(image, 4)
+    outside = jnp.zeros((blocks.shape[0],), dtype=bool)
+    return dxt.encode_dxt5_blocks(blocks, outside)
+
+
+def etc1_encode_image_op(image, strategy: int = 2):
+    """(H, W, 3) uint8 -> (H/4*W/4, 8) uint8 ETC1 blocks."""
+    from texcomp.codecs import etc
+
+    return etc.encode_etc1_blocks(_image_to_blocks(image, 3), strategy)
+
+
+def pvrtc_encode_image_op(image):
+    """(H, W, 4) uint8 -> (H*W/32, 8) uint8 PVRTC 2BPP block records in
+    row-major block order (Z-order permutation applied at pack time)."""
+    from texcomp.codecs import pvrtc
+
+    return pvrtc.encode_pvrtc_2bpp_device(image)
