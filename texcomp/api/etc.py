@@ -1,67 +1,174 @@
 """EtcCompressor: ETC1 (RGB only).
 
-Mirrors image_compression/public/etc_compressor.h:53-109. Full
-implementation lands with the ETC codec kernels.
+Public behavior mirrors image_compression/public/etc_compressor.h:53-109 and
+internal/etc_compressor.cc:706-824: RGB-only, 8-byte (uint64) blocks, a
+per-instance compression strategy knob (the reference's only runtime config,
+etc_compressor.h:71-76, default kSmallerError).
 """
 
 from __future__ import annotations
 
 import enum
 
+import jax.numpy as jnp
+import numpy as np
+
+from texcomp.api import helper4x4 as h4
 from texcomp.api.compressor import Compressor
 from texcomp.api.container import CompressedImage, Format
+from texcomp.blocks import num_blocks
+from texcomp.codecs import etc
+
+_BLOCK_SIZE = 8
 
 
 class CompressionStrategy(enum.IntEnum):
     """ETC encode strategies (etc_compressor.h:57-66)."""
 
-    SPLIT_HORIZONTALLY = 0  # flipped subblocks only
-    SPLIT_VERTICALLY = 1  # unflipped subblocks only
-    SMALLER_ERROR = 2  # try both, keep the smaller error (default)
-    HEURISTIC = 3  # pick split direction + codeword by heuristic
+    SPLIT_HORIZONTALLY = etc.SPLIT_HORIZONTALLY
+    SPLIT_VERTICALLY = etc.SPLIT_VERTICALLY
+    SMALLER_ERROR = etc.SMALLER_ERROR
+    HEURISTIC = etc.HEURISTIC
+
+
+def _bucket(n: int) -> int:
+    if n <= 256:
+        return 256
+    return 1 << (n - 1).bit_length()
+
+
+def _encode(blocks, strategy: int) -> np.ndarray:
+    n = blocks.shape[0]
+    padded = _bucket(n)
+    if padded != n:
+        blocks = jnp.pad(blocks, ((0, padded - n), (0, 0), (0, 0)))
+    return np.asarray(etc.encode_etc1_blocks(blocks, strategy))[:n]
+
+
+def _decode(data) -> np.ndarray:
+    n = data.shape[0]
+    padded = _bucket(n)
+    if padded != n:
+        data = np.pad(data, ((0, padded - n), (0, 0)))
+    return np.asarray(etc.decode_etc1_blocks(jnp.asarray(data)))[:n]
 
 
 class EtcCompressor(Compressor):
-    """Placeholder; full ETC1 implementation follows in texcomp.codecs.etc."""
+    """ETC1 compressor (etc_compressor.h:53-109)."""
 
     name = "etc"
 
-    def __init__(self,
-                 strategy: CompressionStrategy = CompressionStrategy.SMALLER_ERROR):
-        self._strategy = strategy
+    def __init__(
+        self, strategy: CompressionStrategy = CompressionStrategy.SMALLER_ERROR
+    ):
+        self._strategy = int(strategy)
 
     def set_compression_strategy(self, strategy: CompressionStrategy) -> None:
-        self._strategy = strategy
+        """etc_compressor.h:71-76."""
+        self._strategy = int(strategy)
+
+    def get_compression_strategy(self) -> CompressionStrategy:
+        return CompressionStrategy(self._strategy)
+
+    # -- Compressor interface --------------------------------------------------
 
     def supports_format(self, fmt: Format) -> bool:
+        """ETC is RGB-only (etc_compressor.cc:713-717)."""
         return fmt == Format.RGB
 
     def is_valid_compressed_image(self, image: CompressedImage) -> bool:
-        raise NotImplementedError
+        """etc_compressor.cc:719-732."""
+        md = image.get_metadata()
+        return (
+            md.format == Format.RGB
+            and md.compressor_name == self.name
+            and md.uncompressed_height > 0
+            and md.uncompressed_width > 0
+            and md.compressed_height >= md.uncompressed_height
+            and md.compressed_width >= md.uncompressed_width
+            and image.get_data_size()
+            == num_blocks(md.compressed_height)
+            * num_blocks(md.compressed_width)
+            * _BLOCK_SIZE
+        )
 
     def compute_compressed_data_size(self, fmt, height, width) -> int:
-        raise NotImplementedError
+        """etc_compressor.cc:734-745."""
+        if height == 0 or width == 0:
+            return 0
+        if fmt != Format.RGB:
+            return 0
+        return (
+            max(1, num_blocks(height)) * max(1, num_blocks(width)) * _BLOCK_SIZE
+        )
 
     def compress(self, fmt, height, width, padding_bytes_per_row, buffer,
                  image) -> bool:
-        raise NotImplementedError
+        if (buffer is None or image is None or height == 0 or width == 0
+                or fmt != Format.RGB):
+            return False
+        strategy = self._strategy
+        return h4.compress(
+            lambda blocks, outside: _encode(blocks, strategy),
+            self.name, _BLOCK_SIZE, fmt, height, width,
+            padding_bytes_per_row, buffer, image,
+        )
 
     def decompress(self, image, decompressed_buffer) -> bool:
-        raise NotImplementedError
+        if not self.is_valid_compressed_image(image) or decompressed_buffer is None:
+            return False
+        return h4.decompress(lambda data: _decode(data), image,
+                             decompressed_buffer)
 
     def downsample(self, image, downsampled_image) -> bool:
-        raise NotImplementedError
+        if not self.is_valid_compressed_image(image) or downsampled_image is None:
+            return False
+        strategy = self._strategy
+        return h4.downsample(
+            lambda blocks, outside: _encode(blocks, strategy),
+            lambda data: _decode(data),
+            image, downsampled_image, _BLOCK_SIZE,
+        )
 
     def pad(self, image, padded_height, padded_width, padded_image) -> bool:
-        raise NotImplementedError
+        if not self.is_valid_compressed_image(image) or padded_image is None:
+            return False
+        strategy = self._strategy
+        return h4.pad(
+            lambda d: etc.etc_column_pad_blocks(d, strategy),
+            lambda d: etc.etc_row_pad_blocks(d, strategy),
+            etc.etc_corner_pad_blocks,
+            image, padded_height, padded_width, padded_image, _BLOCK_SIZE,
+        )
 
     def compress_and_pad(self, fmt, height, width, padded_height, padded_width,
                          padding_bytes_per_row, buffer, padded_image) -> bool:
-        raise NotImplementedError
+        if (buffer is None or padded_image is None or height == 0 or width == 0
+                or fmt != Format.RGB):
+            return False
+        strategy = self._strategy
+        return h4.compress(
+            lambda blocks, outside: _encode(blocks, strategy),
+            self.name, _BLOCK_SIZE, fmt, height, width,
+            padding_bytes_per_row, buffer, padded_image,
+            padded_height=padded_height, padded_width=padded_width,
+        )
 
     def create_solid_image(self, fmt, height, width, color, image) -> bool:
-        raise NotImplementedError
+        """etc_compressor.cc:802-813."""
+        if image is None or fmt != Format.RGB:
+            return False
+        color = np.frombuffer(bytes(color), dtype=np.uint8) if not isinstance(
+            color, np.ndarray
+        ) else color
+        block = etc.create_solid_block_bytes(int(color[0]), int(color[1]),
+                                             int(color[2]))
+        return h4.create_solid_image(self.name, fmt, height, width, block,
+                                     image)
 
     def copy_subimage(self, image, start_row, start_column, height, width,
                       subimage) -> bool:
-        raise NotImplementedError
+        if not self.is_valid_compressed_image(image) or subimage is None:
+            return False
+        return h4.copy_subimage(image, start_row, start_column, height, width,
+                                subimage, _BLOCK_SIZE)

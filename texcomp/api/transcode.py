@@ -1,11 +1,37 @@
-"""DXT1 -> ETC1 in-place transcoding (dxtc_to_etc_transcoder.cc:29-40)."""
+"""DXT1 -> ETC1 in-place transcoding.
+
+Batched equivalent of TranscodeDxt1ToEtc1 (image_compression/internal/
+dxtc_to_etc_transcoder.cc:29-40): every 8-byte DXT1 block in the payload is
+decoded and re-encoded as an 8-byte ETC1 block using the heuristic strategy,
+in place. One fused device call: decode and encode compose through the
+(N, 16, 3) pixel tensor with no host round-trip in between.
+"""
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
+import numpy as np
+
 from texcomp.api.container import CompressedImage
+from texcomp.codecs import dxt, etc
+
+
+@jax.jit
+def transcode_dxt1_to_etc1_blocks(data: jax.Array) -> jax.Array:
+    """(N, 8) uint8 DXT1 blocks -> (N, 8) uint8 ETC1 blocks (heuristic
+    strategy, dxtc_to_etc_transcoder.cc:37)."""
+    pixels = dxt.decode_dxt1_blocks(data)
+    return etc.encode_etc1_blocks(pixels, etc.HEURISTIC)
 
 
 def transcode_dxt1_to_etc1(image: CompressedImage) -> None:
-    """Re-encode each 8-byte DXT1 block as an 8-byte ETC1 block in place,
-    using the heuristic ETC strategy (dxtc_to_etc_transcoder.cc:29-40)."""
-    raise NotImplementedError  # lands with the ETC codec kernels
+    """Re-encode every 8-byte DXT1 block of ``image`` as ETC1 in place.
+
+    Like the reference, this rewrites only the payload: metadata (including
+    compressor_name) is left untouched (dxtc_to_etc_transcoder.h:20-24 notes
+    the operation is in-place on the data)."""
+    data = image.get_mutable_data()
+    blocks = data.reshape(-1, 8)
+    out = np.asarray(transcode_dxt1_to_etc1_blocks(jnp.asarray(blocks)))
+    blocks[:] = out

@@ -1,0 +1,381 @@
+"""ETC1 block kernels.
+
+Batched, jit-compiled re-design of the reference's per-block ETC1 codec
+(image_compression/internal/etc_compressor.cc). The 64-bit block layout is
+documented at etc_compressor.cc:41-69; blocks are handled as (hi, lo) uint32
+word pairs on device (TPU has no VMEM-friendly uint64) and serialized to the
+hardware byte order — big-endian hi word then big-endian lo word, exactly
+what EtcHelper::BuildBlock produces on a little-endian host
+(etc_compressor.cc:158-194) — at pack time.
+
+The brute-force search (2 flips x 2 subblocks x 8 codewords x 8 pixels x
+4 modifiers, etc_compressor.cc:350-409) vectorizes into dense VPU reductions
+over a (N, 16, 8, 4) error tensor. All argmin selections use
+first-occurrence tie-breaking, matching the strictly-less update scans.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from texcomp.core import colors as cc
+from texcomp.core.constants import ETC1_CODEBOOK, ETC1_HEURISTIC_THRESHOLDS
+
+# Strategy codes (etc_compressor.h:57-66); kept as ints for static dispatch.
+SPLIT_HORIZONTALLY = 0
+SPLIT_VERTICALLY = 1
+SMALLER_ERROR = 2
+HEURISTIC = 3
+
+_U32 = jnp.uint32
+
+
+def _codebook():
+    return jnp.asarray(ETC1_CODEBOOK)  # (8, 4) int32
+
+
+# Pixel p (row-major y*4+x) -> ETC order index x*4+y (etc_compressor.cc
+# :131-137). Static permutation.
+_P_ETC = np.array([(p % 4) * 4 + (p // 4) for p in range(16)], dtype=np.int32)
+# x and y coordinates per row-major pixel position.
+_PX = np.array([p % 4 for p in range(16)], dtype=np.int32)
+_PY = np.array([p // 4 for p in range(16)], dtype=np.int32)
+
+
+def words_to_bytes(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """(N,) uint32 word pairs -> (N, 8) uint8 in ETC1 hardware byte order
+    (big-endian hi then big-endian lo; etc_compressor.cc:172-194)."""
+    parts = [
+        (hi >> 24) & _U32(0xFF), (hi >> 16) & _U32(0xFF),
+        (hi >> 8) & _U32(0xFF), hi & _U32(0xFF),
+        (lo >> 24) & _U32(0xFF), (lo >> 16) & _U32(0xFF),
+        (lo >> 8) & _U32(0xFF), lo & _U32(0xFF),
+    ]
+    return jnp.stack(parts, axis=-1).astype(jnp.uint8)
+
+
+def bytes_to_words(data: jax.Array):
+    """(N, 8) uint8 -> (hi, lo) uint32 word pairs."""
+    d = data.astype(_U32)
+    hi = (d[:, 0] << 24) | (d[:, 1] << 16) | (d[:, 2] << 8) | d[:, 3]
+    lo = (d[:, 4] << 24) | (d[:, 5] << 16) | (d[:, 6] << 8) | d[:, 7]
+    return hi, lo
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+
+def _decode_base_colors(hi: jax.Array):
+    """Base colors per subblock from the hi word (Etc1BlockDecoder,
+    etc_compressor.cc:227-265). Returns (c1, c2) each a (r, g, b) tuple."""
+    h = hi.astype(jnp.int32)
+    diff = (h >> 1) & 1
+
+    def bits(start, n):
+        return (h >> start) & ((1 << n) - 1)
+
+    # Differential mode: 555 base + sign-extended 333 delta, both extended
+    # via Extend5Bit.
+    b5 = (bits(27, 5), bits(19, 5), bits(11, 5))
+    d3 = tuple(
+        ((bits(s, 3) << 29) >> 29) for s in (24, 16, 8)
+    )  # sign-extend 3-bit
+    c1_diff = tuple(cc.extend_5bit(v) for v in b5)
+    c2_diff = tuple(cc.extend_5bit(v + d) for v, d in zip(b5, d3))
+
+    # Individual mode: 444 + 444, Extend4Bit.
+    c1_ind = tuple(cc.extend_4bit(bits(s, 4)) for s in (28, 20, 12))
+    c2_ind = tuple(cc.extend_4bit(bits(s, 4)) for s in (24, 16, 8))
+
+    c1 = tuple(jnp.where(diff == 1, a, b) for a, b in zip(c1_diff, c1_ind))
+    c2 = tuple(jnp.where(diff == 1, a, b) for a, b in zip(c2_diff, c2_ind))
+    return c1, c2
+
+
+@jax.jit
+def decode_etc1_blocks(data: jax.Array) -> jax.Array:
+    """Decode (N, 8) uint8 ETC1 blocks to (N, 16, 3) int32 pixels
+    (DecodeBlock, etc_compressor.cc:282-289)."""
+    hi, lo = bytes_to_words(data)
+    h = hi.astype(jnp.int32)
+    l = lo.astype(jnp.int32)
+
+    flip = h & 1
+    cw0 = (h >> 5) & 7  # first subblock codeword (etc_compressor.cc:235)
+    cw1 = (h >> 2) & 7
+
+    c1, c2 = _decode_base_colors(hi)
+
+    # Pixel modifier index: bit p (low) and bit p+16 (high) of lo, ETC
+    # column-major p = x*4+y (etc_compressor.cc:142-146).
+    p = jnp.asarray(_P_ETC)  # (16,)
+    idx = ((l[:, None] >> p[None, :]) & 1) | (
+        (((l[:, None] >> (p[None, :] + 16)) & 1)) << 1
+    )  # (N, 16)
+
+    # Subblock membership: flip -> top 4x2 is first; else left 2x4
+    # (etc_compressor.cc:206).
+    px = jnp.asarray(_PX)[None, :]
+    py = jnp.asarray(_PY)[None, :]
+    is_first = jnp.where(flip[:, None] == 1, py < 2, px < 2)  # (N, 16)
+
+    cw = jnp.where(is_first, cw0[:, None], cw1[:, None])  # (N, 16)
+    modifier = _codebook()[cw, idx]  # (N, 16)
+
+    out = []
+    for ch1, ch2 in zip(c1, c2):
+        base = jnp.where(is_first, ch1[:, None], ch2[:, None])
+        out.append(cc.clamp8(base + modifier))
+    return jnp.stack(out, axis=-1)  # (N, 16, 3)
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+
+def _subblock_mask(flip: bool):
+    """(16,) bool: True for first-subblock pixels (row-major order)."""
+    return (_PY < 2) if flip else (_PX < 2)
+
+
+def _encode_one_flip(rgb: jax.Array, flip: bool, strategy: int):
+    """FindBestSubblockEncoding for a fixed flip (etc_compressor.cc:460-542).
+
+    Returns (hi, lo, error): (N,) uint32 words + (N,) int32 cumulative error.
+    """
+    n = rgb.shape[0]
+    mask0 = jnp.asarray(_subblock_mask(flip))  # (16,)
+    mask0f = mask0.astype(jnp.int32)[None, :]
+
+    # Subblock truncating averages (ComputeAverageColor, :299-312).
+    avg1 = []
+    avg2 = []
+    for ch in range(3):
+        c = rgb[:, :, ch]
+        avg1.append(jnp.sum(c * mask0f, axis=1) // 8)
+        avg2.append(jnp.sum(c * (1 - mask0f), axis=1) // 8)
+
+    q1_555 = [a >> 3 for a in avg1]
+    q2_555 = [a >> 3 for a in avg2]
+    d555 = [b - a for a, b in zip(q1_555, q2_555)]
+    use_diff = jnp.ones(n, dtype=bool)
+    for d in d555:
+        use_diff &= (d >= -4) & (d <= 3)
+
+    q1_444 = [a >> 4 for a in avg1]
+    q2_444 = [a >> 4 for a in avg2]
+
+    # Decoded palette base colors for the search (:496-516).
+    dec1 = [
+        jnp.where(use_diff, cc.extend_5bit(q5), cc.extend_4bit(q4))
+        for q5, q4 in zip(q1_555, q1_444)
+    ]
+    dec2 = [
+        jnp.where(use_diff, cc.extend_5bit(q5), cc.extend_4bit(q4))
+        for q5, q4 in zip(q2_555, q2_444)
+    ]
+
+    # Per-pixel base color by subblock membership.
+    base = jnp.stack(
+        [
+            jnp.where(mask0[None, :], d1[:, None], d2[:, None])
+            for d1, d2 in zip(dec1, dec2)
+        ],
+        axis=-1,
+    )  # (N, 16, 3)
+
+    cb = _codebook()  # (8, 4)
+    # Candidate colors and per-(pixel, codeword, modifier) errors.
+    cand = cc.clamp8(base[:, :, None, None, :] + cb[None, None, :, :, None])
+    diff = cand - rgb[:, :, None, None, :]
+    err = jnp.sum(diff * diff, axis=-1)  # (N, 16, 8cw, 4mod)
+
+    best_mod = jnp.argmin(err, axis=-1)  # (N, 16, 8) first occurrence
+    best_err = jnp.min(err, axis=-1)  # (N, 16, 8)
+
+    # Per-subblock cumulative error per codeword.
+    err_sb1 = jnp.sum(best_err * mask0f[:, :, None], axis=1)  # (N, 8)
+    err_sb2 = jnp.sum(best_err * (1 - mask0f)[:, :, None], axis=1)
+
+    if strategy == HEURISTIC:
+        # FindCodewordHeuristic (:415-455): codeword from the max-channel
+        # mean absolute deviation, thresholds at :435-451.
+        th = jnp.asarray(ETC1_HEURISTIC_THRESHOLDS)  # (7,)
+
+        def heuristic_cw(decoded, mask):
+            # The deviation is measured from the *decoded* subblock color
+            # (FindCodewordHeuristic is called with decoded_color1/2,
+            # etc_compressor.cc:524-527), not the raw average.
+            dev_ch = []
+            for ch in range(3):
+                ad = jnp.abs(decoded[ch][:, None] - rgb[:, :, ch]) * mask
+                dev_ch.append(jnp.sum(ad, axis=1) // 8)
+            dev = jnp.maximum(jnp.maximum(dev_ch[0], dev_ch[1]), dev_ch[2])
+            return jnp.sum(dev[:, None] > th[None, :], axis=1)  # (N,)
+
+        cw1 = heuristic_cw(dec1, mask0f)
+        cw2 = heuristic_cw(dec2, 1 - mask0f)
+        e1 = jnp.take_along_axis(err_sb1, cw1[:, None], axis=1)[:, 0]
+        e2 = jnp.take_along_axis(err_sb2, cw2[:, None], axis=1)[:, 0]
+    else:
+        # FindBestCodeword (:391-409): exhaustive, first-occurrence argmin.
+        cw1 = jnp.argmin(err_sb1, axis=1)
+        cw2 = jnp.argmin(err_sb2, axis=1)
+        e1 = jnp.min(err_sb1, axis=1)
+        e2 = jnp.min(err_sb2, axis=1)
+
+    cumulative_error = e1 + e2
+
+    # Pixel indices for the selected codeword of each pixel's subblock.
+    cw_px = jnp.where(mask0[None, :], cw1[:, None], cw2[:, None])  # (N, 16)
+    mod = jnp.take_along_axis(best_mod, cw_px[:, :, None], axis=2)[:, :, 0]
+
+    # lo word: bit p = mod&1, bit p+16 = mod>>1, p in ETC order
+    # (StorePixelIndex, :150-156). All word math in uint32 (JAX has no
+    # 64-bit ints by default; the block is two 32-bit words anyway).
+    p = jnp.asarray(_P_ETC, dtype=_U32)[None, :]
+    modu = mod.astype(_U32)
+    lo_bits = ((modu & _U32(1)) << p) | (((modu >> 1) & _U32(1)) << (p + _U32(16)))
+    lo = jnp.bitwise_or.reduce(lo_bits, axis=1)
+
+    # hi word assembly (:485-541).
+    hi = jnp.full(n, _U32(1 if flip else 0), dtype=_U32)
+    hi |= jnp.where(use_diff, _U32(2), _U32(0))
+
+    def field(v, start, bits):
+        return (v.astype(_U32) & _U32((1 << bits) - 1)) << start
+
+    # Differential: base1 555 at 27/19/11, delta 333 at 24/16/8
+    # (StoreDiffModeColors :328-337); individual: 444/444 at
+    # 28/20/12 and 24/16/8 (StoreNormalModeColors :316-324).
+    starts_diff1 = (27, 19, 11)
+    starts_diff2 = (24, 16, 8)
+    starts_ind1 = (28, 20, 12)
+    starts_ind2 = (24, 16, 8)
+    color_bits = jnp.zeros(n, dtype=_U32)
+    for ch in range(3):
+        diff_bits = field(q1_555[ch], starts_diff1[ch], 5) | field(
+            d555[ch], starts_diff2[ch], 3
+        )
+        ind_bits = field(q1_444[ch], starts_ind1[ch], 4) | field(
+            q2_444[ch], starts_ind2[ch], 4
+        )
+        color_bits |= jnp.where(use_diff, diff_bits, ind_bits)
+    hi |= color_bits
+    hi |= field(cw1, 5, 3) | field(cw2, 2, 3)
+
+    return hi, lo, cumulative_error
+
+
+def _heuristic_flip(rgb: jax.Array) -> jax.Array:
+    """Per-block flip choice for kHeuristic (etc_compressor.cc:553-574).
+
+    Note sum4 reuses pixel (2,2) and omits (3,3) — replicated verbatim
+    (etc_compressor.cc:563-564). Returns (N,) bool: True -> flipped (tb).
+    """
+
+    def quad(ps):
+        return [
+            sum(rgb[:, p, ch] for p in ps) for ch in range(3)
+        ]  # list of 3 (N,)
+
+    pos = lambda y, x: y * 4 + x
+    sum1 = quad([pos(0, 0), pos(0, 1), pos(1, 0), pos(1, 1)])
+    sum2 = quad([pos(2, 0), pos(2, 1), pos(3, 0), pos(3, 1)])
+    sum3 = quad([pos(0, 2), pos(0, 3), pos(1, 2), pos(1, 3)])
+    sum4 = quad([pos(2, 2), pos(2, 3), pos(3, 2), pos(2, 2)])  # (2,2) twice!
+
+    left = [cc.div_trunc(a + b, 8) for a, b in zip(sum1, sum2)]
+    right = [cc.div_trunc(a + b, 8) for a, b in zip(sum3, sum4)]
+    top = [cc.div_trunc(a + b, 8) for a, b in zip(sum1, sum3)]
+    bottom = [cc.div_trunc(a + b, 8) for a, b in zip(sum2, sum4)]
+
+    def err3(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    # flip=False (lr) iff err(left,right) > err(top,bottom); else flipped.
+    return ~(err3(left, right) > err3(top, bottom))
+
+
+@partial(jax.jit, static_argnames=("strategy",))
+def encode_etc1_blocks(rgb: jax.Array, strategy: int = SMALLER_ERROR) -> jax.Array:
+    """Encode (N, 16, 3) int32 pixel blocks to (N, 8) uint8 ETC1 blocks
+    (EncodeEtc1Block, etc_compressor.cc:545-586)."""
+    if strategy == SPLIT_HORIZONTALLY:
+        hi, lo, _ = _encode_one_flip(rgb, True, strategy)
+    elif strategy == SPLIT_VERTICALLY:
+        hi, lo, _ = _encode_one_flip(rgb, False, strategy)
+    elif strategy == HEURISTIC:
+        hi_f, lo_f, _ = _encode_one_flip(rgb, False, strategy)
+        hi_t, lo_t, _ = _encode_one_flip(rgb, True, strategy)
+        flip = _heuristic_flip(rgb)
+        hi = jnp.where(flip, hi_t, hi_f)
+        lo = jnp.where(flip, lo_t, lo_f)
+    else:  # SMALLER_ERROR: lr wins ties (etc_compressor.cc:583).
+        hi_f, lo_f, err_f = _encode_one_flip(rgb, False, strategy)
+        hi_t, lo_t, err_t = _encode_one_flip(rgb, True, strategy)
+        take_lr = err_f <= err_t
+        hi = jnp.where(take_lr, hi_f, hi_t)
+        lo = jnp.where(take_lr, lo_f, lo_t)
+    return words_to_bytes(hi, lo)
+
+
+# ---------------------------------------------------------------------------
+# Solid blocks, pads, transcode building blocks
+# ---------------------------------------------------------------------------
+
+
+def create_solid_block_bytes(r: int, g: int, b: int) -> np.ndarray:
+    """CreateSolidBlock (etc_compressor.cc:595-617): differential mode,
+    555-quantized color, zero delta, codeword 0, all pixel indices 0.
+    (The adjusted_color computed at :601-603 is unused in the reference —
+    quantization uses the raw color at :608.)"""
+    hi = 0
+    hi |= 2  # diff bit
+    for v, start in ((r >> 3, 27), (g >> 3, 19), (b >> 3, 11)):
+        hi |= (v & 0x1F) << start
+    # codewords 0; lo = 0
+    return np.array(
+        [(hi >> 24) & 0xFF, (hi >> 16) & 0xFF, (hi >> 8) & 0xFF, hi & 0xFF,
+         0, 0, 0, 0],
+        dtype=np.uint8,
+    )
+
+
+def _replicate_and_encode(data: np.ndarray, take: str, strategy: int) -> np.ndarray:
+    """Shared body of the ETC pad functors (etc_compressor.cc:645-698):
+    decode, replicate the last column/row across the block, re-encode."""
+    pixels = np.asarray(decode_etc1_blocks(jnp.asarray(data)))  # (M, 16, 3)
+    grid = pixels.reshape(-1, 4, 4, 3)
+    if take == "column":
+        grid = np.repeat(grid[:, :, 3:4, :], 4, axis=2)
+    else:  # row
+        grid = np.repeat(grid[:, 3:4, :, :], 4, axis=1)
+    blocks = jnp.asarray(grid.reshape(-1, 16, 3).astype(np.int32))
+    return np.asarray(encode_etc1_blocks(blocks, strategy))
+
+
+def etc_column_pad_blocks(data: np.ndarray, strategy: int) -> np.ndarray:
+    return _replicate_and_encode(data, "column", strategy)
+
+
+def etc_row_pad_blocks(data: np.ndarray, strategy: int) -> np.ndarray:
+    return _replicate_and_encode(data, "row", strategy)
+
+
+def etc_corner_pad_blocks(data: np.ndarray) -> np.ndarray:
+    """EtcGetCornerPadBlock (etc_compressor.cc:693-698): solid block from
+    the decoded corner pixel."""
+    pixels = np.asarray(decode_etc1_blocks(jnp.asarray(data)))
+    out = np.zeros((data.shape[0], 8), dtype=np.uint8)
+    for i in range(data.shape[0]):
+        r, g, b = pixels[i, 15]
+        out[i] = create_solid_block_bytes(int(r), int(g), int(b))
+    return out
