@@ -1,32 +1,95 @@
-"""PvrtcCompressor: PVRTC v1 2BPP RGBA (encode only in the reference).
+"""PvrtcCompressor: PVRTC v1 2BPP RGBA.
 
-Mirrors image_compression/public/pvrtc_compressor.h:71-104. Full
-implementation lands with the PVRTC codec kernels.
+Mirrors image_compression/public/pvrtc_compressor.h:71-104 and
+internal/pvrtc_compressor.cc:605-705: encode-only in the reference —
+Decompress/Downsample/Pad/CompressAndPad/CreateSolidImage/CopySubimage all
+return false (:669-705). A decode extension is available separately via
+``decompress_extension`` (the reference cannot decode; see
+pvrtc_compressor.h:62-67).
 """
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+import numpy as np
+
+from texcomp.api import helper4x4 as h4
 from texcomp.api.compressor import Compressor
-from texcomp.api.container import CompressedImage, Format
+from texcomp.api.container import CompressedImage, Format, Metadata
+from texcomp.codecs import pvrtc
+
+
+def _is_power_of_two(x: int) -> bool:
+    return x != 0 and (x & (x - 1)) == 0
 
 
 class PvrtcCompressor(Compressor):
-    """Placeholder; full PVRTC implementation follows in texcomp.codecs.pvrtc."""
+    """PVRTC 2BPP compressor (pvrtc_compressor.h:71-104)."""
 
     name = "pvrtc"
 
     def supports_format(self, fmt: Format) -> bool:
+        """RGBA only (pvrtc_compressor.cc:611-613)."""
         return fmt == Format.RGBA
 
     def is_valid_compressed_image(self, image: CompressedImage) -> bool:
-        raise NotImplementedError
+        """pvrtc_compressor.cc:615-629."""
+        md = image.get_metadata()
+        return (
+            md.format == Format.RGBA
+            and md.compressor_name == self.name
+            and md.uncompressed_height >= pvrtc.BLOCK_H
+            and md.uncompressed_width >= pvrtc.BLOCK_W
+            and md.compressed_width == md.compressed_height
+            and _is_power_of_two(md.uncompressed_height)
+            and _is_power_of_two(md.uncompressed_width)
+            and md.compressed_height == md.uncompressed_height
+            and md.compressed_width == md.uncompressed_width
+            and image.get_data_size()
+            == self.compute_compressed_data_size(
+                md.format, md.uncompressed_height, md.uncompressed_width
+            )
+        )
 
     def compute_compressed_data_size(self, fmt, height, width) -> int:
+        """2 bits/pixel (pvrtc_compressor.cc:631-634)."""
         return width * height // 4
 
     def compress(self, fmt, height, width, padding_bytes_per_row, buffer,
                  image) -> bool:
-        raise NotImplementedError
+        """pvrtc_compressor.cc:636-667: requires square power-of-two, no row
+        padding."""
+        if buffer is None or image is None or height == 0 or width == 0:
+            return False
+        if (not _is_power_of_two(width) or not _is_power_of_two(height)
+                or width != height):
+            return False
+        if padding_bytes_per_row != 0:
+            return False
+        if width % pvrtc.BLOCK_W != 0 or height % pvrtc.BLOCK_H != 0:
+            return False
+
+        data_size = self.compute_compressed_data_size(fmt, height, width)
+        metadata = Metadata(
+            format=fmt, compressor_name=self.name,
+            uncompressed_height=height, uncompressed_width=width,
+            compressed_height=height, compressed_width=width,
+            padding_bytes_per_row=0,
+        )
+        if image.owns_data():
+            image.create_owned_data(metadata, data_size)
+        else:
+            if image.get_data_size() != data_size:
+                return False
+            image.set_metadata(metadata)
+
+        img = h4.buffer_to_image_array(buffer, height, width, 4, 0)
+        out = np.asarray(pvrtc.encode_pvrtc_2bpp_device(jnp.asarray(img)))
+        image.get_mutable_data()[:] = out.reshape(-1)
+        return True
+
+    # The reference's PVRTC compressor supports no other operation
+    # (pvrtc_compressor.cc:669-705).
 
     def decompress(self, image, decompressed_buffer) -> bool:
         return False
@@ -47,3 +110,22 @@ class PvrtcCompressor(Compressor):
     def copy_subimage(self, image, start_row, start_column, height, width,
                       subimage) -> bool:
         return False
+
+    # -- extensions beyond the reference ---------------------------------------
+
+    def decompress_extension(self, image: CompressedImage,
+                             decompressed_buffer: bytearray) -> bool:
+        """Decode a PVRTC 2BPP image (EXTENSION — the reference returns
+        false here). Implements the documented reconstruction model; used
+        for quality metrics and round-trip testing."""
+        if not self.is_valid_compressed_image(image) or decompressed_buffer is None:
+            return False
+        md = image.get_metadata()
+        h, w = md.uncompressed_height, md.uncompressed_width
+        out = np.asarray(
+            pvrtc.decode_pvrtc_2bpp_device(
+                jnp.asarray(image.get_data().reshape(-1, 8)), height=h, width=w
+            )
+        )
+        decompressed_buffer[:] = out.tobytes()
+        return True

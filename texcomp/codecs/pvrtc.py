@@ -1,0 +1,476 @@
+"""PVRTC v1 2-bits-per-pixel RGBA encode.
+
+Batched, jit-compiled re-design of the reference's three-pass pipeline
+(image_compression/internal/pvrtc_compressor.cc:586-597):
+
+  Morph    — per 8x4 block, pick two extreme colors along 5 candidate axes
+             (lightness/R/G/B/A) and bit-depth-reduce them into low-res
+             A/B images of 1/32 the pixel count (:255-329, :506-521)
+  Modulate — per pixel, best of 4 modulation weights against the
+             bilinearly wrap-interpolated upscaled A/B images (:148-237,
+             :527-540)
+  Encode   — per block, choose a modulation mode, pack 32 modulation bits +
+             32 color bits, emit blocks in Z-order (:395-496, :551-580)
+
+All three passes are dense (H, W) tensor ops on device; the Z-order output
+permutation is a static gather precomputed per image size.
+
+The reference encodes only (decode and all other ops return false,
+pvrtc_compressor.cc:669-705); decode_pvrtc_2bpp here is an extension used
+for quality measurement, implementing the documented decode model (the
+bilinear-upscale + modulation reconstruction of pvrtc_compressor.h:20-55).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Block geometry for 2BPP (pvrtc_compressor.cc:47-50).
+LOG2_BLOCK_W = 3
+LOG2_BLOCK_H = 2
+BLOCK_W = 1 << LOG2_BLOCK_W  # 8
+BLOCK_H = 1 << LOG2_BLOCK_H  # 4
+
+_U32 = jnp.uint32
+
+
+@lru_cache(maxsize=64)
+def zorder_block_permutation(nbx: int, nby: int) -> np.ndarray:
+    """perm[i] = row-major block index for Z-order output slot i
+    (FromZOrder, pvrtc_compressor.cc:80-86)."""
+    n = nbx * nby
+    i = np.arange(n, dtype=np.uint64)
+    x = np.zeros(n, dtype=np.uint64)
+    y = np.zeros(n, dtype=np.uint64)
+    for j in range(16):
+        x |= ((i >> np.uint64(j * 2 + 1)) & np.uint64(1)) << np.uint64(j)
+        y |= ((i >> np.uint64(j * 2)) & np.uint64(1)) << np.uint64(j)
+    return (y * nbx + x).astype(np.int32)
+
+
+def _apply_bit_depth_reduction(v, bit_depth: int):
+    """encode to bit_depth bits then decode to 8 by bit replication
+    (pvrtc_compressor.cc:93-106)."""
+    mask = ((1 << bit_depth) - 1) << (8 - bit_depth)
+    enc = v & mask
+    out = enc | (enc >> bit_depth)
+    if bit_depth <= 3:
+        out = out | (enc >> (bit_depth * 2))
+    return out
+
+
+def _apply_color_channel_reduction(rgba, is_b: bool):
+    """ApplyColorChannelReduction (pvrtc_compressor.cc:337-349): 554/555 for
+    opaque, 3443/3444 for translucent. rgba: (..., 4) int32."""
+    r, g, b, a = rgba[..., 0], rgba[..., 1], rgba[..., 2], rgba[..., 3]
+    opaque = a == 255
+    r_o = _apply_bit_depth_reduction(r, 5)
+    g_o = _apply_bit_depth_reduction(g, 5)
+    b_o = _apply_bit_depth_reduction(b, 5 if is_b else 4)
+    r_t = _apply_bit_depth_reduction(r, 4)
+    g_t = _apply_bit_depth_reduction(g, 4)
+    b_t = _apply_bit_depth_reduction(b, 4 if is_b else 3)
+    a_t = _apply_bit_depth_reduction(a, 3)
+    return jnp.stack(
+        [
+            jnp.where(opaque, r_o, r_t),
+            jnp.where(opaque, g_o, g_t),
+            jnp.where(opaque, b_o, b_t),
+            jnp.where(opaque, a, a_t),
+        ],
+        axis=-1,
+    )
+
+
+def _color_diff(c0, c1):
+    """L1 color distance over 4 channels (pvrtc_compressor.cc:74-77)."""
+    return jnp.sum(jnp.abs(c0 - c1), axis=-1)
+
+
+def _morph(image: jax.Array):
+    """Per-block extreme colors -> reduced A/B images
+    (Morph + GetExtremesFast, pvrtc_compressor.cc:255-329, :506-521).
+
+    image: (H, W, 4) int32. Returns (A, B) each (nby, nbx, 4) int32.
+    """
+    h, w = image.shape[0], image.shape[1]
+    nby, nbx = h // BLOCK_H, w // BLOCK_W
+    blocks = image.reshape(nby, BLOCK_H, nbx, BLOCK_W, 4)
+    blocks = blocks.transpose(0, 2, 1, 3, 4).reshape(nby, nbx, 32, 4)
+
+    r, g, b, a = (blocks[..., i] for i in range(4))
+    lightness = (77 * r + 150 * g + 28 * b) // 256
+    axes = [lightness, r, g, b, a]  # 5 candidate pairs (:262-302)
+
+    pick = lambda idx: jnp.take_along_axis(
+        blocks, idx[..., None, None], axis=2
+    )[..., 0, :]  # (nby, nbx, 4)
+
+    # GetExtremesFast initializes best_index to 0 and updates max only on
+    # strictly-greater (pvrtc_compressor.cc:266-301), so when an axis is 0
+    # for every pixel of the block the "max" stays index 0 — the first pixel
+    # of the WHOLE IMAGE, not of the block. Replicated: all-zero axis ->
+    # global pixel (0, 0).
+    pixel00 = image[0, 0][None, None, :]  # (1, 1, 4)
+
+    mins = []
+    maxs = []
+    diffs = []
+    for f in axes:
+        lo = pick(jnp.argmin(f, axis=2))  # first occurrence == scan order
+        hi = pick(jnp.argmax(f, axis=2))
+        all_zero = jnp.max(f, axis=2) == 0  # (nby, nbx)
+        hi = jnp.where(all_zero[..., None], pixel00, hi)
+        mins.append(lo)
+        maxs.append(hi)
+        diffs.append(_color_diff(lo, hi))
+
+    # Best pair: strictly-greater update -> first-occurrence argmax
+    # (:308-316).
+    diffs = jnp.stack(diffs, axis=-1)  # (nby, nbx, 5)
+    best = jnp.argmax(diffs, axis=-1)[..., None]  # (nby, nbx, 1)
+    c0 = jnp.take_along_axis(
+        jnp.stack(mins, axis=2), best[..., None], axis=2
+    )[..., 0, :]
+    c1 = jnp.take_along_axis(
+        jnp.stack(maxs, axis=2), best[..., None], axis=2
+    )[..., 0, :]
+
+    # Order by brightness r+g+b+a: swap if c1 darker (:321-328).
+    swap = jnp.sum(c1, axis=-1) < jnp.sum(c0, axis=-1)
+    lo = jnp.where(swap[..., None], c1, c0)
+    hi = jnp.where(swap[..., None], c0, c1)
+
+    return (
+        _apply_color_channel_reduction(lo, is_b=False),
+        _apply_color_channel_reduction(hi, is_b=True),
+    )
+
+
+def _interpolate_upscaled(low: jax.Array, h: int, w: int):
+    """Bilinear wrap-around upscale of a low-res image to (h, w)
+    (GetInterpolatedColor2BPP, pvrtc_compressor.cc:208-237).
+
+    low: (nby, nbx, 4) int32. Returns (h, w, 4) int32.
+    """
+    nby, nbx = low.shape[0], low.shape[1]
+    y = jnp.arange(h, dtype=jnp.int32)[:, None]
+    x = jnp.arange(w, dtype=jnp.int32)[None, :]
+
+    left = ((x - BLOCK_W // 2) & (w - 1)) >> LOG2_BLOCK_W
+    top = ((y - BLOCK_H // 2) & (h - 1)) >> LOG2_BLOCK_H
+    right = (left + 1) & (nbx - 1)
+    bottom = (top + 1) & (nby - 1)
+    xw = (x + BLOCK_W // 2) & (BLOCK_W - 1)
+    yw = (y + BLOCK_H // 2) & (BLOCK_H - 1)
+
+    flat = low.reshape(-1, 4)
+    g = lambda yy, xx: flat[(yy * nbx + xx).reshape(-1)].reshape(h, w, 4)
+    c00 = g(top, left)
+    c01 = g(top, right)
+    c10 = g(bottom, left)
+    c11 = g(bottom, right)
+
+    wa = ((BLOCK_H - yw) * (BLOCK_W - xw))[..., None]
+    wb = ((BLOCK_H - yw) * xw)[..., None]
+    wc = (yw * (BLOCK_W - xw))[..., None]
+    wd = (yw * xw)[..., None]
+    return (wa * c00 + wb * c01 + wc * c10 + wd * c11) // (BLOCK_W * BLOCK_H)
+
+
+def _apply_modulation(c0, c1, mod: int):
+    """ApplyModulation (pvrtc_compressor.cc:120-144)."""
+    if mod == 0:
+        return c0
+    if mod == 1:
+        return (5 * c0 + 3 * c1) // 8
+    if mod == 2:
+        return (3 * c0 + 5 * c1) // 8
+    return c1
+
+
+def _modulate(image, imga_up, imgb_up):
+    """Per-pixel best modulation with the reference's early-exit update rule
+    (BestModulation, pvrtc_compressor.cc:148-166): stop at the first
+    non-improving candidate. Returns (H, W) int32 in 0..3."""
+    best = jnp.zeros(image.shape[:2], dtype=jnp.int32)
+    best_diff = _color_diff(image, imga_up)
+    alive = jnp.ones(image.shape[:2], dtype=bool)
+    for mod in (1, 2, 3):
+        cand = _apply_modulation(imga_up, imgb_up, mod)
+        diff = _color_diff(image, cand)
+        improved = diff < best_diff
+        take = alive & improved
+        best = jnp.where(take, mod, best)
+        best_diff = jnp.where(take, diff, best_diff)
+        alive = take
+    return best
+
+
+def _block_modulation_modes(mod: jax.Array):
+    """Per-block modulation mode (CalculateBlockModulationMode,
+    pvrtc_compressor.cc:395-447). mod: (H, W) int32. Returns (nby, nbx)
+    int32 with 0=1BPP, 1=Average4, 2=Vertical, 3=Horizontal.
+
+    Note the reference accumulates the vertical-neighbor deltas into
+    ``horizontal_count`` and vice versa (:417-429); replicated as-is.
+    """
+    h, w = mod.shape
+    nby, nbx = h // BLOCK_H, w // BLOCK_W
+
+    def per_block(x):  # (H, W) -> (nby, nbx) sums
+        return x.reshape(nby, BLOCK_H, nbx, BLOCK_W).sum(axis=(1, 3))
+
+    intermediate = per_block(((mod == 1) | (mod == 2)).astype(jnp.int32))
+    dv = jnp.abs(mod - jnp.roll(mod, -1, axis=0))  # vertical neighbor
+    dh = jnp.abs(mod - jnp.roll(mod, -1, axis=1))  # horizontal neighbor
+    horizontal_count = per_block(dv)  # crossed, per the reference
+    vertical_count = per_block(dh)
+
+    vertical = (vertical_count > 10) & (vertical_count > horizontal_count * 2)
+    horizontal = (horizontal_count > 10) & (
+        horizontal_count > vertical_count * 2
+    )
+    mode = jnp.where(vertical, 2, jnp.where(horizontal, 3, 1))
+    return jnp.where(intermediate <= 4, 0, mode)
+
+
+# Static per-pixel bit positions within a block, row-major (y, x).
+_YY, _XX = np.mgrid[0:BLOCK_H, 0:BLOCK_W]
+_BITPOS_1BPP = (_YY * 8 + _XX).astype(np.int32)
+_CHECKER = ((_XX ^ _YY) & 1) == 0  # stored pixels in 2BPP modes
+_BITPOS_2BPP = (2 * (_YY * 4 + _XX // 2)).astype(np.int32)
+
+
+def _block_modulation_data(mod, modes):
+    """Pack 32 modulation bits per block (CalculateBlockModulationData,
+    pvrtc_compressor.cc:456-496). Returns (nby, nbx) uint32."""
+    h, w = mod.shape
+    nby, nbx = h // BLOCK_H, w // BLOCK_W
+    m = mod.reshape(nby, BLOCK_H, nbx, BLOCK_W).transpose(0, 2, 1, 3)
+
+    # 1BPP: bit per pixel = mod/2 at bitpos y*8+x.
+    bit1 = (m // 2).astype(_U32) << jnp.asarray(_BITPOS_1BPP, dtype=_U32)
+    word_1bpp = jnp.bitwise_or.reduce(bit1.reshape(nby, nbx, -1), axis=-1)
+
+    # 2BPP checkerboard: 2 bits per stored pixel; sub-mode flags steal a bit
+    # at bitpos 0 (average4 vs other) and bitpos 20 (vertical vs horizontal).
+    bits = m.astype(jnp.int32)
+    modes_b = modes[:, :, None, None]
+    at0 = (_BITPOS_1BPP * 0 + _BITPOS_2BPP) == 0
+    at0 = jnp.asarray(at0 & _CHECKER)
+    at20 = jnp.asarray((_BITPOS_2BPP == 20) & _CHECKER)
+    # bitpos 0: average4 -> bit &= 2, else bit |= 1 (:476-481)
+    bits = jnp.where(
+        at0[None, None],
+        jnp.where(modes_b == 1, bits & 2, bits | 1),
+        bits,
+    )
+    # bitpos 20: vertical -> bit |= 1, else bit &= 2 (:482-488)
+    bits = jnp.where(
+        at20[None, None],
+        jnp.where(modes_b == 2, bits | 1, bits & 2),
+        bits,
+    )
+    bit2 = jnp.where(
+        jnp.asarray(_CHECKER)[None, None],
+        bits.astype(_U32) << jnp.asarray(_BITPOS_2BPP, dtype=_U32),
+        _U32(0),
+    )
+    word_2bpp = jnp.bitwise_or.reduce(bit2.reshape(nby, nbx, -1), axis=-1)
+
+    return jnp.where(modes == 0, word_1bpp, word_2bpp)
+
+
+def _encode_colors(a, b, modes):
+    """Pack the two block colors + mode flag into 32 bits (EncodeColors,
+    pvrtc_compressor.cc:356-388). a, b: (nby, nbx, 4) int32 (already
+    bit-depth-reduced). Returns (nby, nbx) uint32."""
+    def u(x):
+        return x.astype(_U32)
+
+    ar, ag, ab, aa = (a[..., i] for i in range(4))
+    br, bg, bb, ba = (b[..., i] for i in range(4))
+
+    a_opaque = aa == 255
+    a_bits_o = (
+        _U32(1 << 15)
+        | (u(ab >> 4) << 1)
+        | (u(ag >> 3) << 5)
+        | (u(ar >> 3) << 10)
+    )
+    a_bits_t = (
+        (u(ab >> 5) << 1)
+        | (u(ag >> 4) << 4)
+        | (u(ar >> 4) << 8)
+        | (u(aa >> 5) << 12)
+    )
+    b_opaque = ba == 255
+    b_bits_o = (
+        _U32(1 << 31)
+        | (u(bb >> 3) << 16)
+        | (u(bg >> 3) << 21)
+        | (u(br >> 3) << 26)
+    )
+    b_bits_t = (
+        (u(bb >> 4) << 16)
+        | (u(bg >> 4) << 20)
+        | (u(br >> 4) << 24)
+        | (u(ba >> 5) << 28)
+    )
+    value = jnp.where(a_opaque, a_bits_o, a_bits_t) | jnp.where(
+        b_opaque, b_bits_o, b_bits_t
+    )
+    return value | jnp.where(modes == 0, _U32(0), _U32(1))
+
+
+@partial(jax.jit, static_argnames=())
+def encode_pvrtc_2bpp_device(image: jax.Array) -> jax.Array:
+    """Full PVRTC 2BPP encode on device: (H, W, 4) uint8 -> (num_blocks, 8)
+    uint8 block records in Z-order file layout (mod word LE, color word LE;
+    Append32 + the Z-order loop, pvrtc_compressor.cc:59-65, :551-580).
+
+    H, W must be equal powers of two (validated by the caller API).
+    """
+    h, w = image.shape[0], image.shape[1]
+    nby, nbx = h // BLOCK_H, w // BLOCK_W
+    img = image.astype(jnp.int32)
+
+    a, b = _morph(img)
+    a_up = _interpolate_upscaled(a, h, w)
+    b_up = _interpolate_upscaled(b, h, w)
+    mod = _modulate(img, a_up, b_up)
+
+    modes = _block_modulation_modes(mod)
+    mod_words = _block_modulation_data(mod, modes).reshape(-1)
+    color_words = _encode_colors(a, b, modes).reshape(-1)
+
+    perm = jnp.asarray(zorder_block_permutation(nbx, nby))
+    mod_words = mod_words[perm]
+    color_words = color_words[perm]
+
+    parts = [
+        mod_words & _U32(0xFF), (mod_words >> 8) & _U32(0xFF),
+        (mod_words >> 16) & _U32(0xFF), (mod_words >> 24) & _U32(0xFF),
+        color_words & _U32(0xFF), (color_words >> 8) & _U32(0xFF),
+        (color_words >> 16) & _U32(0xFF), (color_words >> 24) & _U32(0xFF),
+    ]
+    return jnp.stack(parts, axis=-1).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Decode (extension — the reference cannot decode PVRTC).
+# ---------------------------------------------------------------------------
+
+
+def _decode_color(word: jax.Array, is_b: bool):
+    """Inverse of EncodeColors for one palette color; reconstructs 8-bit
+    channels with the same bit-replication rules the hardware uses."""
+    w = word.astype(jnp.int32)
+    if is_b:
+        opaque = (w >> 31) & 1
+        r_o = _apply_bit_depth_reduction(((w >> 26) & 31) << 3, 5)
+        g_o = _apply_bit_depth_reduction(((w >> 21) & 31) << 3, 5)
+        b_o = _apply_bit_depth_reduction(((w >> 16) & 31) << 3, 5)
+        r_t = _apply_bit_depth_reduction(((w >> 24) & 15) << 4, 4)
+        g_t = _apply_bit_depth_reduction(((w >> 20) & 15) << 4, 4)
+        b_t = _apply_bit_depth_reduction(((w >> 16) & 15) << 4, 4)
+        a_t = _apply_bit_depth_reduction(((w >> 28) & 7) << 5, 3)
+    else:
+        opaque = (w >> 15) & 1
+        r_o = _apply_bit_depth_reduction(((w >> 10) & 31) << 3, 5)
+        g_o = _apply_bit_depth_reduction(((w >> 5) & 31) << 3, 5)
+        b_o = _apply_bit_depth_reduction(((w >> 1) & 15) << 4, 4)
+        r_t = _apply_bit_depth_reduction(((w >> 8) & 15) << 4, 4)
+        g_t = _apply_bit_depth_reduction(((w >> 4) & 15) << 4, 4)
+        b_t = _apply_bit_depth_reduction(((w >> 1) & 7) << 5, 3)
+        a_t = _apply_bit_depth_reduction(((w >> 12) & 7) << 5, 3)
+    opq = opaque == 1
+    return jnp.stack(
+        [
+            jnp.where(opq, r_o, r_t),
+            jnp.where(opq, g_o, g_t),
+            jnp.where(opq, b_o, b_t),
+            jnp.where(opq, 255, a_t),
+        ],
+        axis=-1,
+    )
+
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def decode_pvrtc_2bpp_device(data: jax.Array, *, height: int, width: int) -> jax.Array:
+    """Decode PVRTC 2BPP records back to (H, W, 4) uint8 (extension).
+
+    Implements the documented reconstruction (pvrtc_compressor.h:20-55):
+    bilinear wrap upscale of the A/B palette images, then per-pixel
+    modulation. Checkerboard sub-modes interpolate the missing pixels from
+    their neighbors; the 1BPP mode maps bit 0 -> mod 0, bit 1 -> mod 3.
+    """
+    h, w = height, width
+    nby, nbx = h // BLOCK_H, w // BLOCK_W
+    d = data.astype(_U32)
+    mod_words = d[:, 0] | (d[:, 1] << 8) | (d[:, 2] << 16) | (d[:, 3] << 24)
+    color_words = d[:, 4] | (d[:, 5] << 8) | (d[:, 6] << 16) | (d[:, 7] << 24)
+
+    # Un-permute from Z-order to row-major.
+    perm = zorder_block_permutation(nbx, nby)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    inv = jnp.asarray(inv)
+    mod_words = mod_words[inv].reshape(nby, nbx)
+    color_words = color_words[inv].reshape(nby, nbx)
+
+    a = _decode_color(color_words, is_b=False)
+    b = _decode_color(color_words, is_b=True)
+    a_up = _interpolate_upscaled(a, h, w)
+    b_up = _interpolate_upscaled(b, h, w)
+
+    is_2bpp = (mod_words & _U32(1)) == 1
+
+    # Extract raw per-pixel bits.
+    pos1 = jnp.asarray(_BITPOS_1BPP, dtype=_U32)
+    pos2 = jnp.asarray(_BITPOS_2BPP, dtype=_U32)
+    mw = mod_words[:, :, None, None]
+    bits1 = ((mw >> pos1) & _U32(1)).astype(jnp.int32)
+    mod_1bpp = bits1 * 3  # bit set -> color1
+
+    bits2 = ((mw >> pos2) & _U32(3)).astype(jnp.int32)
+    # Sub-mode flags (stored at bitpos 0 and 20).
+    submode_other = (mod_words >> 0) & _U32(1)  # 1 -> vertical/horizontal
+    submode_vert = (mod_words >> 20) & _U32(1)  # 1 -> vertical
+    # Flag-carrying positions lose their low bit: value is bit&2 -> {0, 2}.
+    flagged = jnp.asarray(((_BITPOS_2BPP == 0) | (_BITPOS_2BPP == 20)) & _CHECKER)
+    bits2 = jnp.where(flagged[None, None], bits2 & 2, bits2)
+
+    checker = jnp.asarray(_CHECKER)[None, None]
+    mod_blocks = jnp.where(is_2bpp[:, :, None, None], bits2, mod_1bpp)
+    mod_img = mod_blocks.transpose(0, 2, 1, 3).reshape(h, w)
+
+    # Interpolate modulation for non-stored checkerboard pixels.
+    stored = jnp.tile(jnp.asarray(_CHECKER), (nby, nbx))
+    up = jnp.roll(mod_img, 1, axis=0)
+    down = jnp.roll(mod_img, -1, axis=0)
+    left = jnp.roll(mod_img, 1, axis=1)
+    right = jnp.roll(mod_img, -1, axis=1)
+    avg4 = (up + down + left + right + 2) // 4
+    avg_v = (up + down + 1) // 2
+    avg_h = (left + right + 1) // 2
+
+    sub_other = jnp.repeat(jnp.repeat(
+        (submode_other == 1), BLOCK_H, axis=0), BLOCK_W, axis=1)
+    sub_vert = jnp.repeat(jnp.repeat(
+        (submode_vert == 1), BLOCK_H, axis=0), BLOCK_W, axis=1)
+    interp = jnp.where(sub_other, jnp.where(sub_vert, avg_v, avg_h), avg4)
+    is2_img = jnp.repeat(jnp.repeat(is_2bpp, BLOCK_H, axis=0), BLOCK_W, axis=1)
+    mod_full = jnp.where(is2_img & ~stored, interp, mod_img)
+
+    # Apply modulation.
+    out = jnp.zeros((h, w, 4), dtype=jnp.int32)
+    for m in range(4):
+        cand = _apply_modulation(a_up, b_up, m)
+        out = jnp.where((mod_full == m)[..., None], cand, out)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
