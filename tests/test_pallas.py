@@ -1,0 +1,123 @@
+"""Pallas TPU kernel parity vs the (oracle-verified) jnp codec kernels.
+
+Runs the kernels in interpreter mode on CPU; on real TPU the same
+comparisons are exercised by bench/verify scripts and the compressor API.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from texcomp.codecs import dxt
+from texcomp.ops import dxt_pallas as dp
+
+
+def _random_blocks(rng, n, c):
+    rgb = rng.integers(0, 256, (n, 16, c)).astype(np.int32)
+    # constant blocks, near-constant, and extreme alpha
+    rgb[5:10] = rgb[5:6, 0:1]
+    rgb[10] = 7
+    if c == 4:
+        rgb[11:14, :, 3] = 0
+        rgb[14:17, :, 3] = 255
+    return rgb
+
+
+def _to_words(rgb):
+    """(N, 16, C) -> (16, N) packed uint32."""
+    w = (rgb[:, :, 0].astype(np.uint32)
+         | (rgb[:, :, 1].astype(np.uint32) << 8)
+         | (rgb[:, :, 2].astype(np.uint32) << 16))
+    if rgb.shape[2] == 4:
+        w |= rgb[:, :, 3].astype(np.uint32) << 24
+    return jnp.asarray(w.T.copy())
+
+
+@pytest.mark.parametrize("swap", [False, True])
+def test_dxt1_kernel_parity(rng, swap):
+    rgb = _random_blocks(rng, 700, 3)
+    ref = np.asarray(dxt.encode_dxt1_blocks(jnp.asarray(rgb),
+                                            swap_red_and_blue=swap))
+    out = np.asarray(
+        dp.encode_dxt1_packed(_to_words(rgb), swap=swap, interpret=True)
+    ).T
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_dxt1_kernel_always4_parity(rng):
+    rgb = _random_blocks(rng, 300, 3)
+    ref = np.asarray(dxt.encode_dxt1_blocks(jnp.asarray(rgb),
+                                            always_4_color=True))
+    out = np.asarray(
+        dp.encode_dxt1_packed(_to_words(rgb), always4=True, interpret=True)
+    ).T
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("swap", [False, True])
+def test_dxt5_kernel_parity(rng, swap):
+    rgba = _random_blocks(rng, 700, 4)
+    outside = np.zeros(700, dtype=bool)
+    outside[33:45] = True
+    ref = np.asarray(
+        dxt.encode_dxt5_blocks(jnp.asarray(rgba), jnp.asarray(outside),
+                               swap_red_and_blue=swap)
+    )
+    words = np.asarray(_to_words(rgba))
+    w17 = np.concatenate([words, outside.astype(np.uint32)[None, :]], axis=0)
+    out = np.asarray(
+        dp.encode_dxt5_packed(jnp.asarray(w17), swap=swap, interpret=True)
+    ).T
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_block_transpose_and_pack(rng):
+    """pack_*_image produce scan-order (y*4+x) words in row-major block
+    order, matching extract_blocks."""
+    h, w = 12, 16
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    words = np.asarray(dp.pack_rgb_image(jnp.asarray(img)))
+    blocks = (img.astype(np.uint32)
+              .reshape(h // 4, 4, w // 4, 4, 3)
+              .transpose(0, 2, 1, 3, 4)
+              .reshape(-1, 16, 3))
+    expect = (blocks[:, :, 0] | (blocks[:, :, 1] << 8)
+              | (blocks[:, :, 2] << 16)).T
+    np.testing.assert_array_equal(words, expect)
+
+    img4 = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    words4 = np.asarray(dp.pack_rgba_image(jnp.asarray(img4)))
+    blocks4 = (img4.astype(np.uint32)
+               .reshape(h // 4, 4, w // 4, 4, 4)
+               .transpose(0, 2, 1, 3, 4)
+               .reshape(-1, 16, 4))
+    expect4 = (blocks4[:, :, 0] | (blocks4[:, :, 1] << 8)
+               | (blocks4[:, :, 2] << 16) | (blocks4[:, :, 3] << 24)).T
+    np.testing.assert_array_equal(words4, expect4)
+    # BGRA pack swaps r/b
+    words4s = np.asarray(dp.pack_rgba_image(jnp.asarray(img4), swap=True))
+    expect4s = (blocks4[:, :, 2] | (blocks4[:, :, 1] << 8)
+                | (blocks4[:, :, 0] << 16) | (blocks4[:, :, 3] << 24)).T
+    np.testing.assert_array_equal(words4s, expect4s)
+
+
+def test_padded_image_pipeline_interpret(rng):
+    """dxtc_encode_padded_image == generic extract+encode on ragged sizes."""
+    from texcomp.blocks import extract_blocks, full_outside_mask
+
+    h, w = 10, 14
+    gh, gw = 16, 24  # compress-and-pad grid
+    img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    outside = full_outside_mask(h, w, gh, gw)
+    blocks = extract_blocks(jnp.asarray(img), height=h, width=w,
+                            grid_height=gh, grid_width=gw)
+    ref = np.asarray(dxt.encode_dxt5_blocks(blocks, jnp.asarray(outside)))
+
+    # interpret-mode variant of the fused pipeline
+    padded = np.pad(img, ((0, gh - h), (0, gw - w), (0, 0)), mode="edge")
+    words = np.asarray(dp.pack_rgba_image(jnp.asarray(padded)))
+    w17 = np.concatenate([words, outside.astype(np.uint32)[None, :]], axis=0)
+    out = np.asarray(
+        dp.encode_dxt5_packed(jnp.asarray(w17), interpret=True)
+    ).T
+    np.testing.assert_array_equal(out, ref)

@@ -141,6 +141,28 @@ class DxtcCompressor(Compressor):
             * self._block_size(fmt)
         )
 
+    def _encode_image_fn(self, fmt: Format):
+        """Fused Pallas image-level encode (TPU); None on CPU backends."""
+        from texcomp.ops import use_pallas
+
+        if not use_pallas():
+            return None
+        from texcomp.ops import dxt_pallas
+
+        swap = needs_red_and_blue_swapped(fmt)
+        is_dxt1 = self._is_dxt1(fmt)
+
+        def fn(img, height, width, grid_height, grid_width, outside):
+            import jax.numpy as jnp
+
+            gh = 4 * num_blocks(grid_height)
+            gw = 4 * num_blocks(grid_width)
+            return dxt_pallas.dxtc_encode_padded_image(
+                jnp.asarray(img), jnp.asarray(outside), gh, gw, swap, is_dxt1
+            )
+
+        return fn
+
     def compress(self, fmt, height, width, padding_bytes_per_row, buffer,
                  image) -> bool:
         if buffer is None or image is None or height == 0 or width == 0:
@@ -149,6 +171,7 @@ class DxtcCompressor(Compressor):
         return h4.compress(
             encode_fn, self.name, self._block_size(fmt), fmt, height, width,
             padding_bytes_per_row, buffer, image,
+            encode_image_fn=self._encode_image_fn(fmt),
         )
 
     def decompress(self, image, decompressed_buffer) -> bool:
@@ -195,6 +218,7 @@ class DxtcCompressor(Compressor):
             encode_fn, self.name, self._block_size(fmt), fmt, height, width,
             padding_bytes_per_row, buffer, padded_image,
             padded_height=padded_height, padded_width=padded_width,
+            encode_image_fn=self._encode_image_fn(fmt),
         )
 
     def create_solid_image(self, fmt, height, width, color, image) -> bool:

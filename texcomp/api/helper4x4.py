@@ -142,6 +142,7 @@ def compress(
     *,
     padded_height: int = 0,
     padded_width: int = 0,
+    encode_image_fn=None,
 ) -> bool:
     """Compress (+ optionally pad) an image in one batched encode.
 
@@ -162,12 +163,20 @@ def compress(
     img = buffer_to_image_array(
         buffer, height, width, components, padding_bytes_per_row
     )
-    blocks = extract_blocks(
-        img, height=height, width=width,
-        grid_height=final_height, grid_width=final_width,
-    )
     outside = full_outside_mask(height, width, final_height, final_width)
-    encoded = np.asarray(encode_fn(blocks, outside))
+    if encode_image_fn is not None:
+        # Fused image-level path (Pallas on TPU): extraction + encode in one
+        # device pipeline.
+        encoded = np.asarray(
+            encode_image_fn(img, height, width, final_height, final_width,
+                            outside)
+        )
+    else:
+        blocks = extract_blocks(
+            img, height=height, width=width,
+            grid_height=final_height, grid_width=final_width,
+        )
+        encoded = np.asarray(encode_fn(blocks, outside))
     image.get_mutable_data()[:] = encoded.reshape(-1)
     return True
 

@@ -1,18 +1,21 @@
 """Fused image-level encode ops — the performance path.
 
 Each op maps a device-resident (H, W, C) uint8 image (H, W multiples of 4)
-straight to packed blocks on device, fusing block extraction with encoding.
-These are what bench.py and the sharded pipeline call. Backend selection:
-Pallas TPU kernels where available, plain XLA otherwise (same bytes either
-way — the Pallas kernels are tested against the jnp kernels which are tested
-against the C++ reference).
+straight to packed blocks on device. Backend dispatch: Pallas TPU kernels on
+accelerators, the reference-parity jnp kernels on CPU (same bytes either
+way — the Pallas kernels are tested bit-identical against the jnp kernels,
+which are tested bit-identical against the C++ reference).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-from texcomp.codecs import dxt
+
+def use_pallas() -> bool:
+    """Pallas TPU kernels on any non-CPU backend."""
+    return jax.default_backend() != "cpu"
 
 
 def _image_to_blocks(image, components: int):
@@ -24,11 +27,23 @@ def _image_to_blocks(image, components: int):
 
 def dxt1_encode_image_op(image):
     """(H, W, 3) uint8 -> (H/4*W/4, 8) uint8 DXT1 blocks."""
+    if use_pallas():
+        from texcomp.ops import dxt_pallas
+
+        return dxt_pallas.dxt1_encode_image(image)
+    from texcomp.codecs import dxt
+
     return dxt.encode_dxt1_blocks(_image_to_blocks(image, 3))
 
 
 def dxt5_encode_image_op(image):
     """(H, W, 4) uint8 -> (H/4*W/4, 16) uint8 DXT5 blocks."""
+    if use_pallas():
+        from texcomp.ops import dxt_pallas
+
+        return dxt_pallas.dxt5_encode_image(image)
+    from texcomp.codecs import dxt
+
     blocks = _image_to_blocks(image, 4)
     outside = jnp.zeros((blocks.shape[0],), dtype=bool)
     return dxt.encode_dxt5_blocks(blocks, outside)
@@ -43,7 +58,7 @@ def etc1_encode_image_op(image, strategy: int = 2):
 
 def pvrtc_encode_image_op(image):
     """(H, W, 4) uint8 -> (H*W/32, 8) uint8 PVRTC 2BPP block records in
-    row-major block order (Z-order permutation applied at pack time)."""
+    Z-order."""
     from texcomp.codecs import pvrtc
 
     return pvrtc.encode_pvrtc_2bpp_device(image)

@@ -1,0 +1,437 @@
+"""Pallas TPU kernels for DXT1/DXT5 encode.
+
+Data layout (the key to speed-of-light on TPU):
+
+  * Pixels are packed one-per-uint32 (r | g<<8 | b<<16 [| a<<24]) so the
+    image -> block-batch rearrangement is a 32-bit transpose that XLA runs
+    at memory bandwidth (~0.2 ms for 4096^2). The 8-bit variant of the same
+    transpose is ~100x slower on the VPU — never move bytes, move words.
+  * Blocks land as a (16, N) uint32 tensor: pixels on sublanes (block scan
+    order y*4+x), blocks on lanes. Every per-block reduction is a sublane
+    reduction; every color op is a full-width VPU op; channels are
+    unpacked in-VMEM with shifts.
+  * The constant-color LUT (dxtc_const_color_table.cc) is applied as a
+    one-hot matmul on the (otherwise idle) MXU — exact, since bf16
+    represents integers <= 255 exactly and accumulation is f32.
+
+Bit-exact with texcomp.codecs.dxt (which is bit-exact with the C++
+reference); tested in tests/test_pallas.py, including interpret mode on CPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from texcomp.core.constants import DXTC_CONST_COLOR_TABLE
+
+LANE_TILE = 2048  # blocks per grid step
+
+
+def _ext5(v):
+    return (v << 3) | (v >> 2)
+
+
+def _ext6(v):
+    return (v << 2) | (v >> 4)
+
+
+def _q8(v, bits):
+    max_val = (1 << bits) - 1
+    i = v * max_val + 128
+    return (i + (i >> 8)) >> 8
+
+
+def _q565(r, g, b):
+    return _q8(r, 5), _q8(g, 6), _q8(b, 5)
+
+
+def _pack16(r5, g6, b5):
+    return (r5 << 11) | (g6 << 5) | b5
+
+
+def _lum(r, g, b):
+    return 4 * r + 8 * g + b
+
+
+def _diff_lum_err(c0, c1):
+    d = _lum(jnp.abs(c0[0] - c1[0]), jnp.abs(c0[1] - c1[1]),
+             jnp.abs(c0[2] - c1[2]))
+    return d * d
+
+
+def _combine(s0, s1, v0, v1):
+    # Non-negative operands everywhere on this path: trunc == floor.
+    return (s0 * v0 + s1 * v1) // (s0 + s1)
+
+
+def _first_extreme(lum, extreme, channels):
+    """Channel values of the first pixel (sublane axis = scan order) whose
+    luminance equals ``extreme``. lum: (16, T); extreme: (1, T)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, lum.shape, 0)
+    first = jnp.min(jnp.where(lum == extreme, idx, 16), axis=0, keepdims=True)
+    hit = idx == first
+    return [jnp.sum(jnp.where(hit, ch, 0), axis=0, keepdims=True)
+            for ch in channels]
+
+
+def _lut_columns(lut_t_ref, vals):
+    """All 8 LUT columns for a (1, T) channel-value vector via one-hot
+    matmul: (8, 256) @ (256, T) -> (8, T) int32, exact."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (256, vals.shape[1]), 0)
+    onehot = (iota == vals).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        lut_t_ref[:], onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(jnp.int32)  # (8, T)
+
+
+def _best_const_colors_kernel(lut_t_ref, target, always4: bool):
+    """GetBestDxtcConstColors (dxtc_const_color_table.cc:322-392) on
+    (1, T) lanes. target: 3-tuple of (1, T). Returns (which, c0_16, c1_16)."""
+    tr, tg, tb = target
+    sr, sg, sb = _q565(tr, tg, tb)
+    single16 = _pack16(sr, sg, sb)
+    min_err = _diff_lum_err(target, (_ext5(sr), _ext6(sg), _ext5(sb)))
+    which = jnp.zeros_like(tr)
+    c0 = single16
+    c1 = single16
+
+    lr = _lut_columns(lut_t_ref, tr)  # (8, T)
+    lg = _lut_columns(lut_t_ref, tg)
+    lb = _lut_columns(lut_t_ref, tb)
+    row = lambda t, i: t[i][None, :]  # (1, T)
+
+    if not always4:
+        h0 = (row(lr, 2), row(lg, 6), row(lb, 2))
+        h1 = (row(lr, 3), row(lg, 7), row(lb, 3))
+        mid = (_combine(1, 1, _ext5(h0[0]), _ext5(h1[0])),
+               _combine(1, 1, _ext6(h0[1]), _ext6(h1[1])),
+               _combine(1, 1, _ext5(h0[2]), _ext5(h1[2])))
+        err = _diff_lum_err(target, mid)
+        upd = err < min_err
+        h0_16 = _pack16(*h0)
+        h1_16 = _pack16(*h1)
+        which = jnp.where(upd, 2, which)
+        c0 = jnp.where(upd, jnp.minimum(h0_16, h1_16), c0)
+        c1 = jnp.where(upd, jnp.maximum(h0_16, h1_16), c1)
+        min_err = jnp.where(upd, err, min_err)
+
+    t0 = (row(lr, 0), row(lg, 4), row(lb, 0))
+    t1 = (row(lr, 1), row(lg, 5), row(lb, 1))
+    third = (_combine(2, 1, _ext5(t0[0]), _ext5(t1[0])),
+             _combine(2, 1, _ext6(t0[1]), _ext6(t1[1])),
+             _combine(2, 1, _ext5(t0[2]), _ext5(t1[2])))
+    err = _diff_lum_err(target, third)
+    upd = err < min_err
+    t0_16 = _pack16(*t0)
+    t1_16 = _pack16(*t1)
+    gt = t0_16 > t1_16
+    which = jnp.where(upd, jnp.where(gt, 2, 3), which)
+    c0 = jnp.where(upd, jnp.where(gt, t0_16, t1_16), c0)
+    c1 = jnp.where(upd, jnp.where(gt, t1_16, t0_16), c1)
+    return which, c0, c1
+
+
+def _dxt1_core(lut_t_ref, r, g, b, always4: bool, swap: bool):
+    """Shared DXT1 encode body on (16, T) int32 channel planes. Returns
+    (c0_16, c1_16, row0..row3) each (1, T) int32."""
+    lum = _lum(r, g, b)
+    lo_l = jnp.min(lum, axis=0, keepdims=True)
+    hi_l = jnp.max(lum, axis=0, keepdims=True)
+    blo = _first_extreme(lum, lo_l, (r, g, b))
+    bhi = _first_extreme(lum, hi_l, (r, g, b))
+
+    qlo = _q565(*blo)
+    qhi = _q565(*bhi)
+    lo16 = _pack16(*qlo)
+    hi16 = _pack16(*qhi)
+    is_const = lo16 == hi16
+
+    # Constant-color path; double-swap back for BGR (see codecs/dxt.py).
+    tgt = (blo[2], blo[1], blo[0]) if swap else tuple(blo)
+    c_which, c_c0, c_c1 = _best_const_colors_kernel(lut_t_ref, tgt, always4)
+    c_row = c_which * 0x55
+
+    # General path: order endpoints, 4-palette nearest by squared luminance.
+    do_swap = lo16 < hi16
+    b0 = [jnp.where(do_swap, h, l) for l, h in zip(blo, bhi)]
+    b1 = [jnp.where(do_swap, l, h) for l, h in zip(blo, bhi)]
+    g_c0 = jnp.maximum(lo16, hi16)
+    g_c1 = jnp.minimum(lo16, hi16)
+    t2 = [_combine(2, 1, a, c) for a, c in zip(b0, b1)]
+    t3 = [_combine(1, 2, a, c) for a, c in zip(b0, b1)]
+    pal_lum = [_lum(*c) for c in (b0, b1, t2, t3)]  # (1, T) x 4
+
+    d = pal_lum[0] - lum
+    best = d * d
+    which = jnp.zeros_like(lum)
+    for i in (1, 2, 3):
+        d = pal_lum[i] - lum
+        d = d * d
+        better = d < best
+        which = jnp.where(better, i, which)
+        best = jnp.where(better, d, best)
+
+    rows = []
+    for y in range(4):
+        byte = (which[4 * y][None, :]
+                | (which[4 * y + 1][None, :] << 2)
+                | (which[4 * y + 2][None, :] << 4)
+                | (which[4 * y + 3][None, :] << 6))
+        rows.append(jnp.where(is_const, c_row, byte))
+
+    c0 = jnp.where(is_const, c_c0, g_c0)
+    c1 = jnp.where(is_const, c_c1, g_c1)
+    return c0, c1, rows
+
+
+def _unpack_channels(words, n: int):
+    """(S, T) uint32 packed pixels -> n int32 channel planes."""
+    w = words.astype(jnp.int32)
+    out = [w & 255, (w >> 8) & 255, (w >> 16) & 255]
+    if n == 4:
+        out.append((w >> 24) & 255)
+    return out
+
+
+def _dxt1_kernel(lut_t_ref, px_ref, out_ref, *, always4, swap):
+    r, g, b = _unpack_channels(px_ref[:], 3)
+    c0, c1, rows = _dxt1_core(lut_t_ref, r, g, b, always4, swap)
+    out = jnp.concatenate(
+        [c0 & 255, c0 >> 8, c1 & 255, c1 >> 8, *rows], axis=0
+    )
+    out_ref[:] = out.astype(jnp.uint8)
+
+
+def _alpha_codes(a):
+    """DXT5 alpha: base alphas + per-pixel 3-bit codes on (16, T) planes.
+
+    Implements ComputeBaseAlphas + ComputeAlphaBits
+    (dxtc_compressor.cc:374-479). has_one_pixel handling is the caller's.
+    """
+    num_t = jnp.sum((a == 0).astype(jnp.int32), axis=0, keepdims=True)
+    num_o = jnp.sum((a == 255).astype(jnp.int32), axis=0, keepdims=True)
+    mid = (a > 0) & (a < 255)
+    low = jnp.min(jnp.where(mid, a, 255), axis=0, keepdims=True)
+    high = jnp.max(jnp.where(mid, a, 0), axis=0, keepdims=True)
+    degenerate = low > high
+    low = jnp.where(degenerate, 0, low)
+    high = jnp.where(degenerate, 255, high)
+
+    explicit = (num_t > 1) | (num_o > 1)
+    low_adj = jnp.where(num_t > 0, 0, low)
+    high_adj = jnp.where(num_o > 0, 255, high)
+    a0 = jnp.where(explicit, low, high_adj)
+    a1 = jnp.where(explicit, high, low_adj)
+
+    use_explicit = a0 <= a1
+    ramp = [a0, a1]
+    for s0, s1 in ((4, 1), (3, 2), (2, 3), (1, 4)):
+        e = _combine(s0, s1, a0, a1)
+        i = _combine(s0 + 2, s1, a0, a1)
+        ramp.append(jnp.where(use_explicit, e, i))
+    ramp.append(jnp.where(use_explicit, jnp.zeros_like(a0),
+                          _combine(2, 5, a0, a1)))
+    ramp.append(jnp.where(use_explicit, jnp.full_like(a0, 255),
+                          _combine(1, 6, a0, a1)))
+
+    d = a - ramp[0]
+    best = d * d
+    code = jnp.zeros_like(a)
+    for i in range(1, 8):
+        d = a - ramp[i]
+        d = d * d
+        better = d < best
+        code = jnp.where(better, i, code)
+        best = jnp.where(better, d, best)
+    return a0, a1, code
+
+
+def _dxt5_kernel(lut_t_ref, px_ref, out_ref, *, swap):
+    # px_ref: (17, T) uint32; sublane 16 carries the has_one_pixel flag.
+    words = px_ref[:]
+    r, g, b, a17 = _unpack_channels(words, 4)
+    a = a17[:16]
+    outside = words[16][None, :] != 0
+
+    a0, a1, code = _alpha_codes(a)
+    a00 = a[0][None, :]
+    a0 = jnp.where(outside, a00, a0)
+    a1 = jnp.where(outside, a00, a1)
+    code = jnp.where(outside, 0, code)
+
+    half0 = jnp.zeros_like(a0)
+    half1 = jnp.zeros_like(a0)
+    for i in range(8):
+        half0 = half0 | (code[i][None, :] << (3 * i))
+        half1 = half1 | (code[8 + i][None, :] << (3 * i))
+
+    c0, c1, rows = _dxt1_core(lut_t_ref, r[:16], g[:16], b[:16],
+                              always4=True, swap=swap)
+    out = jnp.concatenate(
+        [a0, a1,
+         half0 & 255, (half0 >> 8) & 255, (half0 >> 16) & 255,
+         half1 & 255, (half1 >> 8) & 255, (half1 >> 16) & 255,
+         c0 & 255, c0 >> 8, c1 & 255, c1 >> 8, *rows],
+        axis=0,
+    )
+    out_ref[:] = out.astype(jnp.uint8)
+
+
+def _lut_t_bf16() -> jax.Array:
+    return jnp.asarray(DXTC_CONST_COLOR_TABLE.T.astype(np.float32),
+                       dtype=jnp.bfloat16)  # (8, 256)
+
+
+def _pad_lanes(x, tile):
+    n = x.shape[1]
+    pad = (-n) % tile
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    return x
+
+
+def _tile_for(n: int) -> int:
+    return min(LANE_TILE, max(128, 1 << (n - 1).bit_length()))
+
+
+@partial(jax.jit, static_argnames=("always4", "swap", "interpret"))
+def encode_dxt1_packed(words: jax.Array, always4: bool = False,
+                       swap: bool = False,
+                       interpret: bool = False) -> jax.Array:
+    """(16, N) uint32 packed pixels (r|g<<8|b<<16) -> (8, N) uint8 DXT1
+    block bytes."""
+    n = words.shape[1]
+    tile = _tile_for(n)
+    words = _pad_lanes(words, tile)
+    np_ = words.shape[1]
+    out = pl.pallas_call(
+        partial(_dxt1_kernel, always4=always4, swap=swap),
+        grid=(np_ // tile,),
+        in_specs=[
+            pl.BlockSpec((8, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, np_), jnp.uint8),
+        interpret=interpret,
+    )(_lut_t_bf16(), words)
+    return out[:, :n]
+
+
+@partial(jax.jit, static_argnames=("swap", "interpret"))
+def encode_dxt5_packed(words17: jax.Array, swap: bool = False,
+                       interpret: bool = False) -> jax.Array:
+    """(17, N) uint32 packed RGBA pixels + has_one_pixel flag row ->
+    (16, N) uint8 DXT5 block bytes."""
+    n = words17.shape[1]
+    tile = _tile_for(n)
+    words17 = _pad_lanes(words17, tile)
+    np_ = words17.shape[1]
+    out = pl.pallas_call(
+        partial(_dxt5_kernel, swap=swap),
+        grid=(np_ // tile,),
+        in_specs=[
+            pl.BlockSpec((8, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((17, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, np_), jnp.uint8),
+        interpret=interpret,
+    )(_lut_t_bf16(), words17)
+    return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# Image-level wrappers (u32 packing + 32-bit block transpose, fused in jit).
+# ---------------------------------------------------------------------------
+
+
+def _block_transpose_u32(words: jax.Array) -> jax.Array:
+    """(H, W) uint32 -> (16, H/4*W/4): pixel (y, x) of block b on sublane
+    y*4+x, block on lane (row-major).
+
+    Done in two stages — a major-dims transpose (minor dim untouched) then
+    a minor-pair swap — which XLA lowers ~10x faster than the equivalent
+    single 4D transpose (measured 1.2 ms vs 11.7 ms end-to-end on v5e for
+    4096^2)."""
+    h, w = words.shape
+    t = words.reshape(h // 4, 4, w).transpose(1, 0, 2)  # (y, by, W)
+    t = t.reshape(4, h // 4, w // 4, 4).transpose(0, 3, 1, 2)  # (y, x, by, bx)
+    return t.reshape(16, -1)
+
+
+def pack_rgb_image(image: jax.Array, swap: bool = False) -> jax.Array:
+    """(H, W, 3) uint8 -> (16, N) uint32 packed pixel planes. ``swap``
+    reverses r/b for BGR input (so packed channel 0 is red)."""
+    c0, c1, c2 = (2, 1, 0) if swap else (0, 1, 2)
+    px = (image[:, :, c0].astype(jnp.uint32)
+          | (image[:, :, c1].astype(jnp.uint32) << 8)
+          | (image[:, :, c2].astype(jnp.uint32) << 16))
+    return _block_transpose_u32(px)
+
+
+def pack_rgba_image(image: jax.Array, swap: bool = False) -> jax.Array:
+    """(H, W, 4) uint8 -> (16, N) uint32; bitcast (free) for RGBA,
+    explicit byte pack for BGRA."""
+    if swap:
+        px = (image[:, :, 2].astype(jnp.uint32)
+              | (image[:, :, 1].astype(jnp.uint32) << 8)
+              | (image[:, :, 0].astype(jnp.uint32) << 16)
+              | (image[:, :, 3].astype(jnp.uint32) << 24))
+    else:
+        px = jax.lax.bitcast_convert_type(image, jnp.uint32)  # (H, W)
+    return _block_transpose_u32(px)
+
+
+@partial(jax.jit, static_argnames=("grid_height", "grid_width", "swap",
+                                   "is_dxt1"))
+def dxtc_encode_padded_image(image: jax.Array, outside: jax.Array,
+                             grid_height: int, grid_width: int,
+                             swap: bool, is_dxt1: bool) -> jax.Array:
+    """Full compress pipeline for the API path: edge-pad the valid image to
+    the block grid (Pixel4x4 replication, pixel4x4.cc:23-59), pack, encode.
+
+    image: (h, w, C) uint8 (valid extent); outside: (N,) bool has_one_pixel
+    flags. Returns (N, block_size) uint8.
+    """
+    h, w = image.shape[0], image.shape[1]
+    image = jnp.pad(
+        image, ((0, grid_height - h), (0, grid_width - w), (0, 0)),
+        mode="edge",
+    )
+    if is_dxt1:
+        words = pack_rgb_image(image, swap)
+        return encode_dxt1_packed(words, swap=swap).T
+    words = pack_rgba_image(image, swap)
+    flag = outside.astype(jnp.uint32)[None, :]
+    return encode_dxt5_packed(jnp.concatenate([words, flag], axis=0),
+                              swap=swap).T
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def dxt1_encode_image(image: jax.Array, interpret: bool = False) -> jax.Array:
+    """(H, W, 3) uint8 (H, W multiples of 4) -> (N, 8) uint8 DXT1 blocks."""
+    words = pack_rgb_image(image)
+    return encode_dxt1_packed(words, interpret=interpret).T
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def dxt5_encode_image(image: jax.Array, interpret: bool = False) -> jax.Array:
+    """(H, W, 4) uint8 -> (N, 16) uint8 DXT5 blocks (all blocks inside)."""
+    words = pack_rgba_image(image)
+    flag = jnp.zeros((1, words.shape[1]), dtype=jnp.uint32)
+    return encode_dxt5_packed(jnp.concatenate([words, flag], axis=0),
+                              interpret=interpret).T
