@@ -78,14 +78,24 @@ def bench_dxt5_encode(h: int = 2048, w: int = 2048) -> float:
 
 
 def bench_dxt1_decode(h: int = 4096, w: int = 4096) -> float:
-    from texcomp.codecs import dxt
+    from texcomp.ops import dxt1_decode_image_op
 
     rng = np.random.default_rng(0)
     data = jax.device_put(
         rng.integers(0, 256, ((h // 4) * (w // 4), 8), dtype=np.uint8)
     )
-    op = lambda d: dxt.decode_dxt1_blocks(d).astype(jnp.uint8)
-    dt = _time_op(op, data)
+    dt = _time_op(lambda d: dxt1_decode_image_op(d, h, w), data)
+    return (h * w) / dt / 1e6
+
+
+def bench_etc1_decode(h: int = 4096, w: int = 4096) -> float:
+    from texcomp.ops import etc1_decode_image_op
+
+    rng = np.random.default_rng(0)
+    data = jax.device_put(
+        rng.integers(0, 256, ((h // 4) * (w // 4), 8), dtype=np.uint8)
+    )
+    dt = _time_op(lambda d: etc1_decode_image_op(d, h, w), data)
     return (h * w) / dt / 1e6
 
 
@@ -123,6 +133,7 @@ def main() -> int:
             "dxt5_encode_throughput": bench_dxt5_encode,
             "dxt1_decode_throughput": bench_dxt1_decode,
             "etc1_encode_throughput": bench_etc1_encode,
+            "etc1_decode_throughput": bench_etc1_decode,
             "pvrtc_encode_throughput": bench_pvrtc_encode,
         }
         for name, fn in extras.items():

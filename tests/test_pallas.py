@@ -121,3 +121,84 @@ def test_padded_image_pipeline_interpret(rng):
         dp.encode_dxt5_packed(jnp.asarray(w17), interpret=True)
     ).T
     np.testing.assert_array_equal(out, ref)
+
+
+# ---------------------------------------------------------------------------
+# Decode + ETC kernels (interpret mode).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("swap", [False, True])
+def test_dxt1_decode_kernel_parity(rng, swap):
+    data = rng.integers(0, 256, (400, 8), dtype=np.uint8)
+    ref = np.asarray(dxt.decode_dxt1_blocks(jnp.asarray(data)))
+    if swap:
+        ref = ref[:, :, ::-1]
+    words = dp.blocks_to_words(jnp.asarray(data), 2)
+    px = np.asarray(dp.decode_dxt1_packed(words, swap=swap, interpret=True))
+    mine = np.stack([px & 255, (px >> 8) & 255, (px >> 16) & 255],
+                    -1).transpose(1, 0, 2)
+    np.testing.assert_array_equal(mine, ref)
+
+
+@pytest.mark.parametrize("swap", [False, True])
+def test_dxt5_decode_kernel_parity(rng, swap):
+    data = rng.integers(0, 256, (400, 16), dtype=np.uint8)
+    ref = np.asarray(dxt.decode_dxt5_blocks(jnp.asarray(data)))
+    if swap:
+        ref = np.concatenate([ref[:, :, 2::-1], ref[:, :, 3:]], axis=-1)
+    words = dp.blocks_to_words(jnp.asarray(data), 4)
+    px = np.asarray(dp.decode_dxt5_packed(words, swap=swap, interpret=True))
+    mine = np.stack([px & 255, (px >> 8) & 255, (px >> 16) & 255,
+                     (px >> 24) & 255], -1).transpose(1, 0, 2)
+    np.testing.assert_array_equal(mine, ref)
+
+
+@pytest.mark.parametrize("strategy", [0, 1, 2, 3])
+def test_etc1_encode_kernel_parity(rng, strategy):
+    from texcomp.codecs import etc
+    from texcomp.ops import etc_pallas as ep
+
+    rgb = _random_blocks(rng, 500, 3)
+    # smooth blocks exercise differential mode
+    rgb[20:40] = (np.arange(16)[None, :, None] * 3
+                  + rng.integers(0, 64, (20, 1, 3))).astype(np.int32)
+    ref = np.asarray(etc.encode_etc1_blocks(jnp.asarray(rgb), strategy))
+    out = np.asarray(
+        ep.encode_etc1_packed(_to_words(rgb), strategy, interpret=True)
+    ).T
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_etc1_decode_kernel_parity(rng):
+    from texcomp.codecs import etc
+    from texcomp.ops import etc_pallas as ep
+
+    data = rng.integers(0, 256, (500, 8), dtype=np.uint8)
+    ref = np.asarray(etc.decode_etc1_blocks(jnp.asarray(data)))
+    words = dp.blocks_to_words(jnp.asarray(data), 2)
+    px = np.asarray(ep.decode_etc1_packed(words, interpret=True))
+    mine = np.stack([px & 255, (px >> 8) & 255, (px >> 16) & 255],
+                    -1).transpose(1, 0, 2)
+    np.testing.assert_array_equal(mine, ref)
+
+
+def test_transcode_kernel_parity(rng):
+    from texcomp.api.transcode import transcode_dxt1_to_etc1_blocks
+    from texcomp.ops import etc_pallas as ep
+
+    data = rng.integers(0, 256, (300, 8), dtype=np.uint8)
+    ref = np.asarray(transcode_dxt1_to_etc1_blocks(jnp.asarray(data)))
+    words = dp.blocks_to_words(jnp.asarray(data), 2)
+    out = np.asarray(
+        ep.transcode_dxt1_to_etc1_packed(words, interpret=True)
+    ).T
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_unblock_transpose_roundtrip(rng):
+    h, w = 16, 32
+    img = rng.integers(0, 2**32, (h, w), dtype=np.uint32)
+    words = dp._block_transpose_u32(jnp.asarray(img))
+    back = np.asarray(dp._unblock_transpose_u32(words, h, w))
+    np.testing.assert_array_equal(back, img)

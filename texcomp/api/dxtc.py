@@ -7,6 +7,7 @@ formats use DXT1 (8-byte blocks), 4-component formats DXT5 (16-byte blocks).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -174,11 +175,35 @@ class DxtcCompressor(Compressor):
             encode_image_fn=self._encode_image_fn(fmt),
         )
 
+    def _decode_image_fn(self, fmt: Format):
+        """Fused Pallas image-level decode (TPU); None on CPU backends."""
+        from texcomp.ops import use_pallas
+
+        if not use_pallas():
+            return None
+        from texcomp.ops import dxt_pallas
+
+        swap = needs_red_and_blue_swapped(fmt)
+        is_dxt1 = self._is_dxt1(fmt)
+
+        def fn(data, grid_height, grid_width):
+            d = jnp.asarray(np.ascontiguousarray(data))
+            if is_dxt1:
+                return dxt_pallas.dxt1_decode_image(
+                    d, height=grid_height, width=grid_width, swap=swap)
+            return dxt_pallas.dxt5_decode_image(
+                d, height=grid_height, width=grid_width, swap=swap)
+
+        return fn
+
     def decompress(self, image, decompressed_buffer) -> bool:
         if not self.is_valid_compressed_image(image) or decompressed_buffer is None:
             return False
-        _, decode_fn = self._codec_fns(image.get_metadata().format)
-        return h4.decompress(decode_fn, image, decompressed_buffer)
+        fmt = image.get_metadata().format
+        _, decode_fn = self._codec_fns(fmt)
+        return h4.decompress(decode_fn, image, decompressed_buffer,
+                             self._block_size(fmt),
+                             decode_image_fn=self._decode_image_fn(fmt))
 
     def downsample(self, image, downsampled_image) -> bool:
         if not self.is_valid_compressed_image(image) or downsampled_image is None:

@@ -102,6 +102,44 @@ class EtcCompressor(Compressor):
             max(1, num_blocks(height)) * max(1, num_blocks(width)) * _BLOCK_SIZE
         )
 
+    def _encode_image_fn(self):
+        from texcomp.ops import use_pallas
+
+        if not use_pallas():
+            return None
+        from texcomp.ops import etc_pallas
+
+        strategy = self._strategy
+
+        def fn(img, height, width, grid_height, grid_width, outside):
+            import jax.numpy as jnp
+
+            gh = 4 * num_blocks(grid_height)
+            gw = 4 * num_blocks(grid_width)
+            return etc_pallas.etc1_encode_padded_image(
+                jnp.asarray(img), gh, gw, strategy
+            )
+
+        return fn
+
+    def _decode_image_fn(self):
+        from texcomp.ops import use_pallas
+
+        if not use_pallas():
+            return None
+        from texcomp.ops import etc_pallas
+
+        def fn(data, grid_height, grid_width):
+            import jax.numpy as jnp
+            import numpy as np
+
+            d = jnp.asarray(np.ascontiguousarray(data))
+            return etc_pallas.etc1_decode_image(
+                d, height=grid_height, width=grid_width
+            )
+
+        return fn
+
     def compress(self, fmt, height, width, padding_bytes_per_row, buffer,
                  image) -> bool:
         if (buffer is None or image is None or height == 0 or width == 0
@@ -112,13 +150,15 @@ class EtcCompressor(Compressor):
             lambda blocks, outside: _encode(blocks, strategy),
             self.name, _BLOCK_SIZE, fmt, height, width,
             padding_bytes_per_row, buffer, image,
+            encode_image_fn=self._encode_image_fn(),
         )
 
     def decompress(self, image, decompressed_buffer) -> bool:
         if not self.is_valid_compressed_image(image) or decompressed_buffer is None:
             return False
         return h4.decompress(lambda data: _decode(data), image,
-                             decompressed_buffer)
+                             decompressed_buffer, _BLOCK_SIZE,
+                             decode_image_fn=self._decode_image_fn())
 
     def downsample(self, image, downsampled_image) -> bool:
         if not self.is_valid_compressed_image(image) or downsampled_image is None:
@@ -152,6 +192,7 @@ class EtcCompressor(Compressor):
             self.name, _BLOCK_SIZE, fmt, height, width,
             padding_bytes_per_row, buffer, padded_image,
             padded_height=padded_height, padded_width=padded_width,
+            encode_image_fn=self._encode_image_fn(),
         )
 
     def create_solid_image(self, fmt, height, width, color, image) -> bool:

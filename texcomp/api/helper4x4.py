@@ -185,21 +185,37 @@ def decompress(
     decode_fn: DecodeFn,
     image: CompressedImage,
     decompressed_buffer: bytearray,
+    block_size: int,
+    decode_image_fn=None,
 ) -> bool:
     """Compressor4x4Helper::Decompress (compressor4x4_helper.h:218-262):
-    batched block decode + clipped scatter into the uncompressed extent."""
+    batched block decode + clipped scatter into the uncompressed extent.
+
+    The reference reads blocks *sequentially* over the uncompressed block
+    grid (:241-245, `*block++`), so when the payload covers a larger
+    (padded) grid, only the first nbr*nbc blocks are consumed — replicated
+    here by slicing the flat block stream, not the 2-D grid.
+    """
     md = image.get_metadata()
     components = num_format_components(md.format)
     nbr = num_blocks(md.uncompressed_height)
     nbc = num_blocks(md.uncompressed_width)
-    data = image.get_data().reshape(nbr * nbc, -1)
-    pixels = decode_fn(data)
-    out_img = np.asarray(
-        scatter_blocks(
-            pixels, height=md.uncompressed_height, width=md.uncompressed_width
+    data = image.get_data().reshape(-1, block_size)[: nbr * nbc]
+    if decode_image_fn is not None:
+        # Fused device path: blocks -> (4nbr, 4nbc, C') image; crop/strip.
+        out_img = np.asarray(decode_image_fn(data, 4 * nbr, 4 * nbc))
+        out_img = out_img[: md.uncompressed_height, : md.uncompressed_width,
+                          :components]
+    else:
+        pixels = decode_fn(data)
+        out_img = np.asarray(
+            scatter_blocks(
+                pixels, height=md.uncompressed_height,
+                width=md.uncompressed_width,
+            )
         )
-    )
-    out = image_array_to_buffer(out_img, md.padding_bytes_per_row)
+    out = image_array_to_buffer(np.ascontiguousarray(out_img),
+                                md.padding_bytes_per_row)
     decompressed_buffer[:] = out.tobytes()
     return True
 

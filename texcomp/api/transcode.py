@@ -31,7 +31,15 @@ def transcode_dxt1_to_etc1(image: CompressedImage) -> None:
     Like the reference, this rewrites only the payload: metadata (including
     compressor_name) is left untouched (dxtc_to_etc_transcoder.h:20-24 notes
     the operation is in-place on the data)."""
+    from texcomp.ops import use_pallas
+
     data = image.get_mutable_data()
     blocks = data.reshape(-1, 8)
-    out = np.asarray(transcode_dxt1_to_etc1_blocks(jnp.asarray(blocks)))
+    if use_pallas():
+        from texcomp.ops import dxt_pallas, etc_pallas
+
+        words = dxt_pallas.blocks_to_words(jnp.asarray(blocks.copy()), 2)
+        out = np.asarray(etc_pallas.transcode_dxt1_to_etc1_packed(words)).T
+    else:
+        out = np.asarray(transcode_dxt1_to_etc1_blocks(jnp.asarray(blocks)))
     blocks[:] = out

@@ -51,9 +51,36 @@ def dxt5_encode_image_op(image):
 
 def etc1_encode_image_op(image, strategy: int = 2):
     """(H, W, 3) uint8 -> (H/4*W/4, 8) uint8 ETC1 blocks."""
+    if use_pallas():
+        from texcomp.ops import etc_pallas
+
+        return etc_pallas.etc1_encode_image(image, strategy)
     from texcomp.codecs import etc
 
     return etc.encode_etc1_blocks(_image_to_blocks(image, 3), strategy)
+
+
+def dxt1_decode_image_op(data, height: int, width: int):
+    """(N, 8) uint8 DXT1 blocks -> decoded image; RGBX (H, W, 4) on TPU,
+    (N, 16, 3) pixel blocks on CPU."""
+    if use_pallas():
+        from texcomp.ops import dxt_pallas
+
+        return dxt_pallas.dxt1_decode_image(data, height=height, width=width)
+    from texcomp.codecs import dxt
+
+    return dxt.decode_dxt1_blocks(data).astype(jnp.uint8)
+
+
+def etc1_decode_image_op(data, height: int, width: int):
+    """(N, 8) uint8 ETC1 blocks -> decoded image (see dxt1_decode_image_op)."""
+    if use_pallas():
+        from texcomp.ops import etc_pallas
+
+        return etc_pallas.etc1_decode_image(data, height=height, width=width)
+    from texcomp.codecs import etc
+
+    return etc.decode_etc1_blocks(data).astype(jnp.uint8)
 
 
 def pvrtc_encode_image_op(image):

@@ -32,6 +32,8 @@ from texcomp.core.constants import DXTC_CONST_COLOR_TABLE
 
 LANE_TILE = 2048  # blocks per grid step
 
+_U32 = jnp.uint32
+
 
 def _ext5(v):
     return (v << 3) | (v >> 2)
@@ -419,6 +421,195 @@ def dxtc_encode_padded_image(image: jax.Array, outside: jax.Array,
     flag = outside.astype(jnp.uint32)[None, :]
     return encode_dxt5_packed(jnp.concatenate([words, flag], axis=0),
                               swap=swap).T
+
+
+# ---------------------------------------------------------------------------
+# Decode kernels.
+# ---------------------------------------------------------------------------
+
+
+def _unblock_transpose_u32(words: jax.Array, h: int, w: int) -> jax.Array:
+    """Inverse of _block_transpose_u32: (16, N) uint32 -> (H, W) uint32,
+    again as two fast stages."""
+    t = words.reshape(4, 4, h // 4, w // 4).transpose(0, 2, 3, 1)  # (y,by,bx,x)
+    t = t.reshape(4, h // 4, w)
+    return t.transpose(1, 0, 2).reshape(h, w)
+
+
+def _decode_palette(c0_16, c1_16, always4: bool, swap: bool):
+    """DecodeColors (dxtc_compressor.cc:167-192): 4 palette entries per
+    channel from packed 565 endpoints, each (1, T). Returns list of 3
+    channels, each a 4-list."""
+    def unpack(c):
+        return _ext5(c >> 11), _ext6((c >> 5) & 63), _ext5(c & 31)
+
+    p0 = unpack(c0_16)
+    p1 = unpack(c1_16)
+    if swap:
+        p0 = (p0[2], p0[1], p0[0])
+        p1 = (p1[2], p1[1], p1[0])
+    equal = c0_16 == c1_16
+    if always4:
+        four = jnp.ones_like(equal)
+    else:
+        four = c0_16 > c1_16
+
+    pal = []
+    for ch0, ch1 in zip(p0, p1):
+        p2 = jnp.where(equal, ch1,
+                       jnp.where(four, _combine(2, 1, ch0, ch1),
+                                 _combine(1, 1, ch0, ch1)))
+        p3 = jnp.where(equal, ch1,
+                       jnp.where(four, _combine(1, 2, ch0, ch1),
+                                 jnp.zeros_like(ch0)))
+        pal.append([ch0, ch1, p2, p3])
+    return pal
+
+
+def _select4(code, vals):
+    out = jnp.broadcast_to(vals[0], code.shape)
+    out = jnp.where(code == 1, vals[1], out)
+    out = jnp.where(code == 2, vals[2], out)
+    return jnp.where(code == 3, vals[3], out)
+
+
+def _dxt1_color_codes(bits_word, shape):
+    """Per-pixel 2-bit codes from the 32-bit index word; pixel (y, x) at
+    bits (8y + 2x) (dxtc_compressor.cc:230-236). shape = (16, T)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    sh = 8 * (p // 4) + 2 * (p % 4)
+    return ((jnp.broadcast_to(bits_word, shape).astype(jnp.int32) >> sh) & 3)
+
+
+def _dxt1_decode_kernel(w_ref, out_ref, *, always4, swap):
+    w = w_ref[:].astype(jnp.int32)  # (2, T): LE words of the 8-byte block
+    c0_16 = w[0][None, :] & 0xFFFF
+    c1_16 = (w[0][None, :] >> 16) & 0xFFFF
+    pal = _decode_palette(c0_16, c1_16, always4, swap)
+    code = _dxt1_color_codes(w[1][None, :], (16, w.shape[1]))
+    r = _select4(code, pal[0])
+    g = _select4(code, pal[1])
+    b = _select4(code, pal[2])
+    px = (r.astype(_U32) | (g.astype(_U32) << 8) | (b.astype(_U32) << 16))
+    out_ref[:] = px
+
+
+def _dxt5_decode_kernel(w_ref, out_ref, *, swap):
+    w = w_ref[:].astype(jnp.int32)  # (4, T) LE words
+    t = w.shape[1]
+    a0 = w[0][None, :] & 255
+    a1 = (w[0][None, :] >> 8) & 255
+    half0 = ((w[0][None, :] >> 16) & 0xFFFF) | ((w[1][None, :] & 255) << 16)
+    half1 = (w[1][None, :] >> 8) & 0xFFFFFF
+
+    # Alpha ramp (DecodeAlphaValues, dxtc_compressor.cc:195-217).
+    interp_mode = a0 > a1
+    ramp = [a0, a1]
+    for s0, s1 in ((6, 1), (5, 2), (4, 3), (3, 4)):
+        i = _combine(s0, s1, a0, a1)
+        e = _combine(s0 - 2, s1, a0, a1)
+        ramp.append(jnp.where(interp_mode, i, e))
+    ramp.append(jnp.where(interp_mode, _combine(2, 5, a0, a1),
+                          jnp.zeros_like(a0)))
+    ramp.append(jnp.where(interp_mode, _combine(1, 6, a0, a1),
+                          jnp.full_like(a0, 255)))
+
+    p = jax.lax.broadcasted_iota(jnp.int32, (16, t), 0)
+    sh = 3 * (p % 8)
+    half = jnp.where(p < 8, jnp.broadcast_to(half0, (16, t)),
+                     jnp.broadcast_to(half1, (16, t)))
+    acode = (half >> sh) & 7
+    alpha = jnp.broadcast_to(ramp[0], (16, t))
+    for i in range(1, 8):
+        alpha = jnp.where(acode == i, ramp[i], alpha)
+
+    c0_16 = w[2][None, :] & 0xFFFF
+    c1_16 = (w[2][None, :] >> 16) & 0xFFFF
+    pal = _decode_palette(c0_16, c1_16, always4=True, swap=swap)
+    code = _dxt1_color_codes(w[3][None, :], (16, t))
+    r = _select4(code, pal[0])
+    g = _select4(code, pal[1])
+    b = _select4(code, pal[2])
+    px = (r.astype(_U32) | (g.astype(_U32) << 8) | (b.astype(_U32) << 16)
+          | (alpha.astype(_U32) << 24))
+    out_ref[:] = px
+
+
+@partial(jax.jit, static_argnames=("always4", "swap", "interpret"))
+def decode_dxt1_packed(words: jax.Array, always4: bool = False,
+                       swap: bool = False,
+                       interpret: bool = False) -> jax.Array:
+    """(2, N) uint32 little-endian block words -> (16, N) uint32 packed
+    pixels (r|g<<8|b<<16)."""
+    n = words.shape[1]
+    tile = _tile_for(n)
+    words = _pad_lanes(words, tile)
+    np_ = words.shape[1]
+    out = pl.pallas_call(
+        partial(_dxt1_decode_kernel, always4=always4, swap=swap),
+        grid=(np_ // tile,),
+        in_specs=[pl.BlockSpec((2, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((16, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, np_), jnp.uint32),
+        interpret=interpret,
+    )(words)
+    return out[:, :n]
+
+
+@partial(jax.jit, static_argnames=("swap", "interpret"))
+def decode_dxt5_packed(words: jax.Array, swap: bool = False,
+                       interpret: bool = False) -> jax.Array:
+    """(4, N) uint32 little-endian block words -> (16, N) uint32 packed
+    RGBA pixels."""
+    n = words.shape[1]
+    tile = _tile_for(n)
+    words = _pad_lanes(words, tile)
+    np_ = words.shape[1]
+    out = pl.pallas_call(
+        partial(_dxt5_decode_kernel, swap=swap),
+        grid=(np_ // tile,),
+        in_specs=[pl.BlockSpec((4, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((16, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, np_), jnp.uint32),
+        interpret=interpret,
+    )(words)
+    return out[:, :n]
+
+
+def blocks_to_words(data: jax.Array, words_per_block: int) -> jax.Array:
+    """(N, 4*wpb) uint8 block bytes -> (wpb, N) uint32 LE words."""
+    n = data.shape[0]
+    w = jax.lax.bitcast_convert_type(
+        data.reshape(n, words_per_block, 4), jnp.uint32
+    )  # (N, wpb)
+    return w.T
+
+
+@partial(jax.jit, static_argnames=("height", "width", "swap", "interpret"))
+def dxt1_decode_image(data: jax.Array, *, height: int, width: int,
+                      swap: bool = False,
+                      interpret: bool = False) -> jax.Array:
+    """(N, 8) uint8 DXT1 blocks -> (H, W, 4) uint8 RGBX image (4th channel
+    zero; byte order BGR for swap=True), H, W the full block-grid extent."""
+    px = decode_dxt1_packed(blocks_to_words(data, 2), swap=swap,
+                            interpret=interpret)
+    img = _unblock_transpose_u32(px, height, width)
+    return jax.lax.bitcast_convert_type(img, jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "swap", "interpret"))
+def dxt5_decode_image(data: jax.Array, *, height: int, width: int,
+                      swap: bool = False,
+                      interpret: bool = False) -> jax.Array:
+    """(N, 16) uint8 DXT5 blocks -> (H, W, 4) uint8 RGBA (or BGRA) image."""
+    px = decode_dxt5_packed(blocks_to_words(data, 4), swap=swap,
+                            interpret=interpret)
+    img = _unblock_transpose_u32(px, height, width)
+    return jax.lax.bitcast_convert_type(img, jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("interpret",))

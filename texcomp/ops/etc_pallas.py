@@ -1,0 +1,410 @@
+"""Pallas TPU kernel for ETC1 encode.
+
+Same layout discipline as dxt_pallas: blocks as (16, N) packed-uint32
+tensors (pixels on sublanes in scan order y*4+x, blocks on lanes). The
+2 flips x 2 subblocks x 8 codewords x 4 modifiers search
+(etc_compressor.cc:350-409) runs as a fully unrolled chain of dense VPU ops:
+for each codeword, 4 candidate-error evaluations and a select chain give the
+per-pixel best modifier; masked sublane sums give per-subblock errors; an
+8-way first-occurrence select chain picks the codeword; the winning pixel
+indices are recomputed for the chosen codeword via an 8-way modifier select.
+
+Bit-exact with texcomp.codecs.etc (which is bit-exact with the C++
+reference); tested in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from texcomp.core.constants import ETC1_CODEBOOK, ETC1_HEURISTIC_THRESHOLDS
+
+LANE_TILE = 1024  # blocks per grid step (search is ~4x heavier than DXT)
+
+SPLIT_HORIZONTALLY = 0
+SPLIT_VERTICALLY = 1
+SMALLER_ERROR = 2
+HEURISTIC = 3
+
+_U32 = jnp.uint32
+
+# Row-major pixel position helpers (pixel p = y*4 + x).
+_PX = np.array([p % 4 for p in range(16)], dtype=np.int32)
+_PY = np.array([p // 4 for p in range(16)], dtype=np.int32)
+# ETC bit position for pixel p: x*4 + y (etc_compressor.cc:131-137).
+_P_ETC = np.array([(p % 4) * 4 + (p // 4) for p in range(16)], dtype=np.int32)
+
+
+def _clamp8(v):
+    return jnp.clip(v, 0, 255)
+
+
+def _sub_mask(flip: bool):
+    """(16, 1) int32: 1 for first-subblock pixels. Built from iota so the
+    kernel captures no array constants (Pallas requirement)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    m = (p // 4 < 2) if flip else (p % 4 < 2)
+    return m.astype(jnp.int32)
+
+
+def _codeword_select(cw, table_col):
+    """Select table_col[cw] elementwise, cw in 0..7 (static unroll)."""
+    out = jnp.full_like(cw, int(table_col[0]))
+    for k in range(1, 8):
+        out = jnp.where(cw == k, int(table_col[k]), out)
+    return out
+
+
+def _subblock_search(rgb, base, mask, heuristic: bool, avg):
+    """Per-subblock codeword + pixel-index search.
+
+    rgb: 3-tuple of (16, T) pixels; base: 3-tuple of (1, T) decoded subblock
+    color; mask: (16, 1) membership; avg is unused (the heuristic deviation
+    is measured from the decoded color, etc_compressor.cc:524-527).
+    Returns (cw (1,T), err (1,T), mod (16,T) valid at member pixels).
+    """
+    maskf = mask
+    cb = ETC1_CODEBOOK
+
+    # Per-pixel, per-codeword best modifier error.
+    per_cw_err = []
+    for k in range(8):
+        best = None
+        for m in range(4):
+            mod = int(cb[k, m])
+            e = None
+            for ch, bs in zip(rgb, base):
+                cand = _clamp8(bs + mod)
+                d = cand - ch
+                e = d * d if e is None else e + d * d
+            best = e if best is None else jnp.minimum(best, e)
+        # Cumulative subblock error for codeword k.
+        per_cw_err.append(jnp.sum(best * maskf, axis=0, keepdims=True))
+
+    if heuristic:
+        # FindCodewordHeuristic (etc_compressor.cc:415-455).
+        dev = None
+        for ch, bs in zip(rgb, base):
+            ad = jnp.sum(jnp.abs(bs - ch) * maskf, axis=0, keepdims=True) // 8
+            dev = ad if dev is None else jnp.maximum(dev, ad)
+        cw = jnp.zeros_like(dev)
+        for t in ETC1_HEURISTIC_THRESHOLDS.tolist():
+            cw = cw + (dev > t)
+        err = per_cw_err[0]
+        for k in range(1, 8):
+            err = jnp.where(cw == k, per_cw_err[k], err)
+    else:
+        # First-occurrence argmin over 8 codewords (etc_compressor.cc:391-409).
+        err = per_cw_err[0]
+        cw = jnp.zeros_like(err)
+        for k in range(1, 8):
+            better = per_cw_err[k] < err
+            cw = jnp.where(better, k, cw)
+            err = jnp.where(better, per_cw_err[k], err)
+
+    # Recompute per-pixel best modifier for the chosen codeword.
+    mods = [_codeword_select(cw, cb[:, m]) for m in range(4)]  # (1, T) x4
+    best_e = None
+    best_m = None
+    for m in range(4):
+        e = None
+        for ch, bs in zip(rgb, base):
+            cand = _clamp8(bs + mods[m])
+            d = cand - ch
+            e = d * d if e is None else e + d * d
+        if best_e is None:
+            best_e = e
+            best_m = jnp.zeros_like(e)
+        else:
+            better = e < best_e
+            best_m = jnp.where(better, m, best_m)
+            best_e = jnp.where(better, e, best_e)
+    return cw, err, best_m
+
+
+def _encode_flip(rgb, flip: bool, strategy: int):
+    """FindBestSubblockEncoding (etc_compressor.cc:460-542) for one flip.
+    rgb: 3-tuple of (16, T). Returns (hi, lo, err)."""
+    maskf = _sub_mask(flip)
+
+    avg1 = [jnp.sum(ch * maskf, axis=0, keepdims=True) // 8 for ch in rgb]
+    avg2 = [jnp.sum(ch * (1 - maskf), axis=0, keepdims=True) // 8 for ch in rgb]
+    q1_555 = [a >> 3 for a in avg1]
+    q2_555 = [a >> 3 for a in avg2]
+    d555 = [b - a for a, b in zip(q1_555, q2_555)]
+    use_diff = None
+    for d in d555:
+        c = (d >= -4) & (d <= 3)
+        use_diff = c if use_diff is None else (use_diff & c)
+
+    q1_444 = [a >> 4 for a in avg1]
+    q2_444 = [a >> 4 for a in avg2]
+    ext5 = lambda v: (v << 3) | (v >> 2)
+    ext4 = lambda v: (v << 4) | v
+    dec1 = [jnp.where(use_diff, ext5(q5), ext4(q4))
+            for q5, q4 in zip(q1_555, q1_444)]
+    dec2 = [jnp.where(use_diff, ext5(q5), ext4(q4))
+            for q5, q4 in zip(q2_555, q2_444)]
+
+    heuristic = strategy == HEURISTIC
+    cw1, e1, mod1 = _subblock_search(rgb, dec1, maskf, heuristic, avg1)
+    cw2, e2, mod2 = _subblock_search(rgb, dec2, 1 - maskf, heuristic, avg2)
+    err = e1 + e2
+    mod = jnp.where(maskf != 0, mod1, mod2)  # (16, T)
+
+    # lo word: bit p_etc = mod&1, bit p_etc+16 = mod>>1.
+    lo = None
+    modu = mod.astype(_U32)
+    for p in range(16):
+        bits = ((modu[p] & _U32(1)) << _P_ETC[p]) | (
+            ((modu[p] >> 1) & _U32(1)) << (_P_ETC[p] + 16)
+        )
+        lo = bits if lo is None else (lo | bits)
+    lo = lo[None, :]
+
+    fld = lambda v, start, nbits: (v.astype(_U32) & _U32((1 << nbits) - 1)) << start
+    hi = jnp.full_like(lo, _U32(1 if flip else 0))
+    hi = hi | jnp.where(use_diff, _U32(2), _U32(0))
+    starts_d1 = (27, 19, 11)
+    starts_d2 = (24, 16, 8)
+    starts_i1 = (28, 20, 12)
+    starts_i2 = (24, 16, 8)
+    for ch in range(3):
+        diff_bits = fld(q1_555[ch], starts_d1[ch], 5) | fld(
+            d555[ch], starts_d2[ch], 3)
+        ind_bits = fld(q1_444[ch], starts_i1[ch], 4) | fld(
+            q2_444[ch], starts_i2[ch], 4)
+        hi = hi | jnp.where(use_diff, diff_bits, ind_bits)
+    hi = hi | fld(cw1, 5, 3) | fld(cw2, 2, 3)
+    return hi, lo, err
+
+
+def _heuristic_flip(rgb):
+    """Flip choice for kHeuristic (etc_compressor.cc:553-574), including the
+    sum4 pixel-(2,2)-twice quirk (:563-564). Returns (1, T) bool (flipped)."""
+    pos = lambda y, x: y * 4 + x
+
+    def quad(ps):
+        return [sum(ch[p][None, :] for p in ps) for ch in rgb]
+
+    sum1 = quad([pos(0, 0), pos(0, 1), pos(1, 0), pos(1, 1)])
+    sum2 = quad([pos(2, 0), pos(2, 1), pos(3, 0), pos(3, 1)])
+    sum3 = quad([pos(0, 2), pos(0, 3), pos(1, 2), pos(1, 3)])
+    sum4 = quad([pos(2, 2), pos(2, 3), pos(3, 2), pos(2, 2)])
+
+    div8 = lambda v: jnp.sign(v) * (jnp.abs(v) // 8)
+    left = [div8(a + b) for a, b in zip(sum1, sum2)]
+    right = [div8(a + b) for a, b in zip(sum3, sum4)]
+    top = [div8(a + b) for a, b in zip(sum1, sum3)]
+    bottom = [div8(a + b) for a, b in zip(sum2, sum4)]
+
+    err3 = lambda a, b: sum((x - y) * (x - y) for x, y in zip(a, b))
+    return ~(err3(left, right) > err3(top, bottom))
+
+
+def _etc1_kernel(px_ref, out_ref, *, strategy):
+    w = px_ref[:].astype(jnp.int32)
+    rgb = (w & 255, (w >> 8) & 255, (w >> 16) & 255)
+
+    if strategy == SPLIT_HORIZONTALLY:
+        hi, lo, _ = _encode_flip(rgb, True, strategy)
+    elif strategy == SPLIT_VERTICALLY:
+        hi, lo, _ = _encode_flip(rgb, False, strategy)
+    elif strategy == HEURISTIC:
+        hi_f, lo_f, _ = _encode_flip(rgb, False, strategy)
+        hi_t, lo_t, _ = _encode_flip(rgb, True, strategy)
+        flip = _heuristic_flip(rgb)
+        hi = jnp.where(flip, hi_t, hi_f)
+        lo = jnp.where(flip, lo_t, lo_f)
+    else:  # SMALLER_ERROR: lr wins ties (etc_compressor.cc:583).
+        hi_f, lo_f, err_f = _encode_flip(rgb, False, strategy)
+        hi_t, lo_t, err_t = _encode_flip(rgb, True, strategy)
+        take_lr = err_f <= err_t
+        hi = jnp.where(take_lr, hi_f, hi_t)
+        lo = jnp.where(take_lr, lo_f, lo_t)
+
+    out = jnp.concatenate(
+        [(hi >> 24) & _U32(255), (hi >> 16) & _U32(255),
+         (hi >> 8) & _U32(255), hi & _U32(255),
+         (lo >> 24) & _U32(255), (lo >> 16) & _U32(255),
+         (lo >> 8) & _U32(255), lo & _U32(255)],
+        axis=0,
+    )
+    out_ref[:] = out.astype(jnp.uint8)
+
+
+def _pad_lanes(x, tile):
+    n = x.shape[1]
+    pad = (-n) % tile
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Decode kernel.
+# ---------------------------------------------------------------------------
+
+
+def _bswap32(w):
+    return (((w & _U32(0xFF)) << 24) | ((w & _U32(0xFF00)) << 8)
+            | ((w >> 8) & _U32(0xFF00)) | (w >> 24))
+
+
+def _select8(idx, table_col):
+    out = jnp.full(idx.shape, int(table_col[0]), dtype=jnp.int32)
+    for k in range(1, 8):
+        out = jnp.where(idx == k, int(table_col[k]), out)
+    return out
+
+
+def _etc1_decode_kernel(w_ref, out_ref):
+    """(2, T) uint32 LE words of 8-byte blocks -> (16, T) packed RGB pixels
+    (Etc1BlockDecoder, etc_compressor.cc:227-273)."""
+    w = w_ref[:]
+    t = w.shape[1]
+    hi = _bswap32(w[0][None, :]).astype(jnp.int32)  # file order is BE
+    lo = _bswap32(w[1][None, :]).astype(jnp.int32)
+
+    flip = hi & 1
+    diff = (hi >> 1) & 1
+    cw0 = (hi >> 5) & 7
+    cw1 = (hi >> 2) & 7
+
+    bits = lambda s, nb: (hi >> s) & ((1 << nb) - 1)
+    # Extend5Bit masks the replicated bits (color_util.h:200-202) — matters
+    # for out-of-range differential sums in malformed blocks.
+    ext5 = lambda v: (v << 3) | ((v >> 2) & 7)
+    ext4 = lambda v: (v << 4) | v
+    sext3 = lambda v: (v << 29) >> 29
+
+    b5 = (bits(27, 5), bits(19, 5), bits(11, 5))
+    d3 = (sext3(bits(24, 3)), sext3(bits(16, 3)), sext3(bits(8, 3)))
+    c1 = [jnp.where(diff == 1, ext5(v), ext4(bits(s, 4)))
+          for v, s in zip(b5, (28, 20, 12))]
+    c2 = [jnp.where(diff == 1, ext5(v + d), ext4(bits(s, 4)))
+          for v, d, s in zip(b5, d3, (24, 16, 8))]
+
+    p = jax.lax.broadcasted_iota(jnp.int32, (16, t), 0)
+    px = p % 4
+    py = p // 4
+    p_etc = px * 4 + py
+    idx = ((jnp.broadcast_to(lo, (16, t)) >> p_etc) & 1) | (
+        ((jnp.broadcast_to(lo, (16, t)) >> (p_etc + 16)) & 1) << 1)
+    flip_b = jnp.broadcast_to(flip, (16, t)) == 1
+    is_first = (flip_b & (py < 2)) | (~flip_b & (px < 2))
+
+    cw = jnp.where(is_first, jnp.broadcast_to(cw0, (16, t)),
+                   jnp.broadcast_to(cw1, (16, t)))
+    # modifier = CB[cw][idx]; CB rows are [a, b, -a, -b].
+    a = _select8(cw, ETC1_CODEBOOK[:, 0])
+    b = _select8(cw, ETC1_CODEBOOK[:, 1])
+    mag = jnp.where((idx & 1) == 1, b, a)
+    modifier = jnp.where(idx >= 2, -mag, mag)
+
+    out = []
+    for ch1, ch2 in zip(c1, c2):
+        base = jnp.where(is_first, jnp.broadcast_to(ch1, (16, t)),
+                         jnp.broadcast_to(ch2, (16, t)))
+        out.append(jnp.clip(base + modifier, 0, 255))
+    px_words = (out[0].astype(_U32) | (out[1].astype(_U32) << 8)
+                | (out[2].astype(_U32) << 16))
+    out_ref[:] = px_words
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def decode_etc1_packed(words: jax.Array, interpret: bool = False) -> jax.Array:
+    """(2, N) uint32 LE block words -> (16, N) uint32 packed RGB pixels."""
+    n = words.shape[1]
+    tile = min(2048, max(128, 1 << (n - 1).bit_length()))
+    words = _pad_lanes(words, tile)
+    np_ = words.shape[1]
+    out = pl.pallas_call(
+        _etc1_decode_kernel,
+        grid=(np_ // tile,),
+        in_specs=[pl.BlockSpec((2, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((16, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, np_), jnp.uint32),
+        interpret=interpret,
+    )(words)
+    return out[:, :n]
+
+
+@partial(jax.jit, static_argnames=("height", "width", "interpret"))
+def etc1_decode_image(data: jax.Array, *, height: int, width: int,
+                      interpret: bool = False) -> jax.Array:
+    """(N, 8) uint8 ETC1 blocks -> (H, W, 4) uint8 RGBX image."""
+    from texcomp.ops.dxt_pallas import _unblock_transpose_u32, blocks_to_words
+
+    px = decode_etc1_packed(blocks_to_words(data, 2), interpret=interpret)
+    img = _unblock_transpose_u32(px, height, width)
+    return jax.lax.bitcast_convert_type(img, jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("strategy", "interpret"))
+def transcode_dxt1_to_etc1_packed(words: jax.Array, strategy: int = HEURISTIC,
+                                  interpret: bool = False) -> jax.Array:
+    """(2, N) uint32 DXT1 LE words -> (8, N) uint8 ETC1 bytes: fused
+    decode -> re-encode on device (dxtc_to_etc_transcoder.cc:29-40)."""
+    from texcomp.ops.dxt_pallas import decode_dxt1_packed
+
+    px = decode_dxt1_packed(words, interpret=interpret)
+    return encode_etc1_packed(px, strategy, interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("strategy", "interpret"))
+def encode_etc1_packed(words: jax.Array, strategy: int = SMALLER_ERROR,
+                       interpret: bool = False) -> jax.Array:
+    """(16, N) uint32 packed RGB pixels -> (8, N) uint8 ETC1 block bytes
+    (hardware byte order)."""
+    n = words.shape[1]
+    tile = min(LANE_TILE, max(128, 1 << (n - 1).bit_length()))
+    words = _pad_lanes(words, tile)
+    np_ = words.shape[1]
+    out = pl.pallas_call(
+        partial(_etc1_kernel, strategy=strategy),
+        grid=(np_ // tile,),
+        in_specs=[pl.BlockSpec((16, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, np_), jnp.uint8),
+        interpret=interpret,
+    )(words)
+    return out[:, :n]
+
+
+@partial(jax.jit, static_argnames=("strategy", "interpret"))
+def etc1_encode_image(image: jax.Array, strategy: int = SMALLER_ERROR,
+                      interpret: bool = False) -> jax.Array:
+    """(H, W, 3) uint8 (multiples of 4) -> (N, 8) uint8 ETC1 blocks."""
+    from texcomp.ops.dxt_pallas import pack_rgb_image
+
+    words = pack_rgb_image(image)
+    return encode_etc1_packed(words, strategy, interpret=interpret).T
+
+
+@partial(jax.jit, static_argnames=("strategy", "grid_height", "grid_width",
+                                   "interpret"))
+def etc1_encode_padded_image(image: jax.Array, grid_height: int,
+                             grid_width: int,
+                             strategy: int = SMALLER_ERROR,
+                             interpret: bool = False) -> jax.Array:
+    """API-path pipeline: edge-pad to the block grid, pack, encode."""
+    from texcomp.ops.dxt_pallas import pack_rgb_image
+
+    h, w = image.shape[0], image.shape[1]
+    image = jnp.pad(
+        image, ((0, grid_height - h), (0, grid_width - w), (0, 0)),
+        mode="edge",
+    )
+    words = pack_rgb_image(image)
+    return encode_etc1_packed(words, strategy, interpret=interpret).T
