@@ -148,3 +148,21 @@ def test_decode_extension_modulation_roundtrip(rng):
     is_2bpp = np.repeat(np.repeat(modes != 0, 4, axis=0), 8, axis=1)
     relevant = stored & ~flag & is_2bpp
     np.testing.assert_array_equal(read[relevant], mod_true[relevant])
+
+
+@pytest.mark.parametrize("size", [8, 32, 64])
+def test_fast_pipeline_parity(size, rng):
+    """The gather-free TPU pipeline (ops/pvrtc_fast) produces the same bytes
+    as the reference-parity codec pipeline."""
+    import jax.numpy as jnp
+
+    from texcomp.ops import pvrtc_fast
+
+    for kind in ("noise", "mixed"):
+        if kind == "noise":
+            img = rng.integers(0, 256, (size, size, 4), dtype=np.uint8)
+        else:
+            img = make_test_image(rng, size, size, 4)
+        ref = np.asarray(pvrtc_codec.encode_pvrtc_2bpp_device(jnp.asarray(img)))
+        out = np.asarray(pvrtc_fast.encode_pvrtc_2bpp_fast(jnp.asarray(img)))
+        np.testing.assert_array_equal(out, ref, err_msg=f"{size} {kind}")

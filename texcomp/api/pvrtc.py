@@ -84,7 +84,9 @@ class PvrtcCompressor(Compressor):
             image.set_metadata(metadata)
 
         img = h4.buffer_to_image_array(buffer, height, width, 4, 0)
-        out = np.asarray(pvrtc.encode_pvrtc_2bpp_device(jnp.asarray(img)))
+        from texcomp.ops import pvrtc_encode_image_op
+
+        out = np.asarray(pvrtc_encode_image_op(jnp.asarray(img)))
         image.get_mutable_data()[:] = out.reshape(-1)
         return True
 

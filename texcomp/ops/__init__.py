@@ -86,6 +86,10 @@ def etc1_decode_image_op(data, height: int, width: int):
 def pvrtc_encode_image_op(image):
     """(H, W, 4) uint8 -> (H*W/32, 8) uint8 PVRTC 2BPP block records in
     Z-order."""
+    if use_pallas():
+        from texcomp.ops import pvrtc_fast
+
+        return pvrtc_fast.encode_pvrtc_2bpp_fast(image)
     from texcomp.codecs import pvrtc
 
     return pvrtc.encode_pvrtc_2bpp_device(image)
