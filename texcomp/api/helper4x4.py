@@ -329,21 +329,25 @@ def pad(
     ):
         return False
 
+    from texcomp import native
+
     orig = _grid_view(image, block_size)
     out = _grid_view(padded_image, block_size)
     nbr, nbc = orig.shape[0], orig.shape[1]
     pbr, pbc = out.shape[0], out.shape[1]
 
-    out[:nbr, :nbc] = orig
-    if nbc < pbc:
-        col_pad = column_pad_fn(orig[:, nbc - 1])  # (nbr, block_size)
-        out[:nbr, nbc:] = col_pad[:, None, :]
+    # Pad blocks are codec math (device/bit ops); grid assembly is the
+    # native host runtime's job.
+    col_pad = (column_pad_fn(orig[:, nbc - 1]) if nbc < pbc
+               else np.zeros((nbr, block_size), np.uint8))
     if nbr < pbr:
-        row_pad = row_pad_fn(orig[nbr - 1])  # (nbc, block_size)
-        out[nbr:, :nbc] = row_pad[None, :, :]
-        if nbc < pbc:
-            corner = corner_pad_fn(orig[nbr - 1 : nbr, nbc - 1])  # (1, bs)
-            out[nbr:, nbc:] = corner[None, :, :]
+        row_pad = row_pad_fn(orig[nbr - 1])
+        corner = (corner_pad_fn(orig[nbr - 1 : nbr, nbc - 1])[0]
+                  if nbc < pbc else np.zeros(block_size, np.uint8))
+    else:
+        row_pad = np.zeros((nbc, block_size), np.uint8)
+        corner = np.zeros(block_size, np.uint8)
+    out[:] = native.pad_block_grid(orig, pbr, pbc, col_pad, row_pad, corner)
     return True
 
 
@@ -356,13 +360,16 @@ def create_solid_image(
     image: CompressedImage,
 ) -> bool:
     """Compressor4x4Helper::CreateSolidImage (compressor4x4_helper.h:522-543)."""
+    from texcomp import native
+
     block_size = int(block_bytes.size)
     if not setup_compressed_image(
         image, compressor_name, block_size, fmt, height, width, 0
     ):
         return False
     data = image.get_mutable_data()
-    data.reshape(-1, block_size)[:] = block_bytes.reshape(1, block_size)
+    n = data.size // block_size
+    data.reshape(-1, block_size)[:] = native.fill_blocks(n, block_bytes)
     return True
 
 
@@ -392,9 +399,11 @@ def copy_subimage(
         subimage, md.compressor_name, block_size, md.format, height, width, 0
     ):
         return False
+    from texcomp import native
+
     orig = _grid_view(image, block_size)
     sub = _grid_view(subimage, block_size)
     r0 = num_blocks(start_row)
     c0 = num_blocks(start_column)
-    sub[:] = orig[r0 : r0 + sub.shape[0], c0 : c0 + sub.shape[1]]
+    sub[:] = native.copy_subgrid(orig, r0, c0, sub.shape[0], sub.shape[1])
     return True

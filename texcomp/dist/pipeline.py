@@ -1,0 +1,214 @@
+"""Batched asset pipeline: encode fleets of textures across a device mesh.
+
+The TPU-native answer to BASELINE config 5 ("10k mixed DXT/ETC/PVRTC
+textures, sharded over a v5e pod"). The reference processes one image per
+call on one CPU thread; here:
+
+  * assets are grouped by (codec, shape) so each group is one batched
+    device computation (bucketing bounds jit recompiles);
+  * each group's batch axis is sharded over the mesh "data" axis with
+    jax.shard_map — encoding is embarrassingly parallel, so the only
+    collective is the optional quality-metric psum;
+  * within a shard, the whole sub-batch feeds ONE Pallas kernel call by
+    folding (B, 16, N) packed-pixel planes into (16, B*N) lanes.
+
+Works identically on a single chip (mesh of 1) and on a virtual CPU mesh
+(jnp fallback kernels), which is how the multi-chip path is tested.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from texcomp.api.container import CompressedImage, Format, Metadata
+from texcomp.blocks import num_blocks
+
+_BLOCK_BYTES = {"dxt1": 8, "dxt5": 16, "etc1": 8, "pvrtc": 8}
+_FORMATS = {"dxt1": Format.RGB, "dxt5": Format.RGBA, "etc1": Format.RGB,
+            "pvrtc": Format.RGBA}
+_NAMES = {"dxt1": "dxtc", "dxt5": "dxtc", "etc1": "etc", "pvrtc": "pvrtc"}
+
+
+@dataclass
+class TextureAsset:
+    """One texture to encode. Image is (H, W, C) uint8 with H, W multiples
+    of 4 (PVRTC additionally requires square power-of-two)."""
+
+    name: str
+    image: np.ndarray
+    codec: str  # dxt1 | dxt5 | etc1 | pvrtc
+    strategy: int = 2  # ETC1 only
+
+
+def _batch_encode(images: jax.Array, codec: str, strategy: int) -> jax.Array:
+    """(B, H, W, C) uint8 -> (B, num_blocks, block_bytes) uint8."""
+    from texcomp.ops import use_pallas
+
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+    n = (h // 4) * (w // 4)
+
+    if codec == "pvrtc":
+        from texcomp.ops import pvrtc_encode_image_op
+
+        return jax.vmap(pvrtc_encode_image_op)(images)
+
+    if use_pallas():
+        from texcomp.ops import dxt_pallas, etc_pallas
+
+        if codec == "dxt5":
+            words = jax.vmap(dxt_pallas.pack_rgba_image)(images)
+        else:
+            words = jax.vmap(dxt_pallas.pack_rgb_image)(images)
+        # Fold the batch into lanes: one kernel call per group shard.
+        words = words.transpose(1, 0, 2).reshape(16, b * n)
+        if codec == "dxt1":
+            out = dxt_pallas.encode_dxt1_packed(words)  # (8, B*N)
+        elif codec == "dxt5":
+            flag = jnp.zeros((1, b * n), dtype=jnp.uint32)
+            out = dxt_pallas.encode_dxt5_packed(
+                jnp.concatenate([words, flag], axis=0))
+        else:
+            out = etc_pallas.encode_etc1_packed(words, strategy)
+        bs = out.shape[0]
+        return out.reshape(bs, b, n).transpose(1, 2, 0)
+
+    # CPU fallback: jnp reference kernels.
+    from texcomp.codecs import dxt, etc
+
+    def to_blocks(img):
+        c = img.shape[-1]
+        x = img.astype(jnp.int32).reshape(h // 4, 4, w // 4, 4, c)
+        return x.transpose(0, 2, 1, 3, 4).reshape(-1, 16, c)
+
+    blocks = jax.vmap(to_blocks)(images)
+    if codec == "dxt1":
+        return jax.vmap(lambda blk: dxt.encode_dxt1_blocks(blk))(blocks)
+    if codec == "dxt5":
+        outside = jnp.zeros((n,), dtype=bool)
+        return jax.vmap(
+            lambda blk: dxt.encode_dxt5_blocks(blk, outside))(blocks)
+    return jax.vmap(
+        lambda blk: etc.encode_etc1_blocks(blk, strategy))(blocks)
+
+
+class AssetPipeline:
+    """Mesh-sharded batch encoder for mixed texture assets."""
+
+    def __init__(self, mesh: Mesh | None = None, batch_size: int = 64):
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()[:1]), axis_names=("data",))
+        self.mesh = mesh
+        self.ndev = int(np.prod(mesh.devices.shape))
+        self.batch_size = max(batch_size, self.ndev)
+        self._jitted = {}
+
+    def _sharded_encode(self, codec: str, strategy: int):
+        key = (codec, strategy)
+        if key not in self._jitted:
+            mesh = self.mesh
+
+            def fn(images):
+                local = partial(_batch_encode, codec=codec, strategy=strategy)
+                return jax.shard_map(
+                    local, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+                )(images)
+
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
+
+    def encode_group(self, images: np.ndarray, codec: str,
+                     strategy: int = 2) -> np.ndarray:
+        """Encode a same-shape batch: (B, H, W, C) -> (B, nblocks, bytes).
+
+        The batch is padded to a multiple of the mesh size; each device
+        encodes its shard with one fused kernel call.
+        """
+        b = images.shape[0]
+        pad = (-b) % self.ndev
+        if pad:
+            images = np.concatenate([images, images[:1].repeat(pad, 0)], 0)
+        out = self._sharded_encode(codec, strategy)(jnp.asarray(images))
+        return np.asarray(out)[:b]
+
+    def run(self, assets: Sequence[TextureAsset]) -> dict[str, CompressedImage]:
+        """Encode a mixed asset fleet. Returns name -> CompressedImage."""
+        groups: dict[tuple, list[int]] = {}
+        for i, a in enumerate(assets):
+            key = (a.codec, a.strategy, a.image.shape)
+            groups.setdefault(key, []).append(i)
+
+        results: dict[str, CompressedImage] = {}
+        for (codec, strategy, shape), idxs in groups.items():
+            for start in range(0, len(idxs), self.batch_size):
+                chunk = idxs[start : start + self.batch_size]
+                batch = np.stack([assets[i].image for i in chunk])
+                encoded = self.encode_group(batch, codec, strategy)
+                for j, i in enumerate(chunk):
+                    a = assets[i]
+                    h, w = a.image.shape[0], a.image.shape[1]
+                    ci = CompressedImage()
+                    if codec == "pvrtc":
+                        md = Metadata(_FORMATS[codec], _NAMES[codec],
+                                      h, w, h, w, 0)
+                    else:
+                        md = Metadata(
+                            _FORMATS[codec], _NAMES[codec], h, w,
+                            4 * num_blocks(h), 4 * num_blocks(w), 0,
+                        )
+                    payload = encoded[j].reshape(-1)
+                    ci.create_owned_data(md, payload.size)
+                    ci.get_mutable_data()[:] = payload
+                    results[a.name] = ci
+        return results
+
+
+def quality_report(pipeline: AssetPipeline, images: np.ndarray,
+                   codec: str = "dxt1") -> float:
+    """Encode + decode a batch and return the mean PSNR (dB), with the
+    reduction running as a cross-mesh mean (the pipeline's only
+    collective)."""
+    from texcomp.codecs import dxt, etc
+
+    mesh = pipeline.mesh
+
+    def step(imgs):
+        def local(x):
+            b, h, w, c = x.shape
+            enc = _batch_encode(x, codec, 2)
+            if codec == "dxt1":
+                dec = jax.vmap(lambda d: dxt.decode_dxt1_blocks(d))(enc)
+            elif codec == "dxt5":
+                dec = jax.vmap(lambda d: dxt.decode_dxt5_blocks(d))(enc)
+            else:
+                dec = jax.vmap(lambda d: etc.decode_etc1_blocks(d))(enc)
+            blocks = jax.vmap(
+                lambda im: im.astype(jnp.int32)
+                .reshape(h // 4, 4, w // 4, 4, c)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(-1, 16, c)
+            )(x)
+            err = (dec - blocks).astype(jnp.float32)
+            se = jnp.sum(err * err)
+            cnt = jnp.float32(err.size)
+            # ICI collective: global mean across shards.
+            se = jax.lax.psum(se, "data")
+            cnt = jax.lax.psum(cnt, "data")
+            return se / cnt
+
+        mse = jax.shard_map(local, mesh=mesh, in_specs=P("data"),
+                            out_specs=P())(imgs)
+        return 10.0 * jnp.log10(255.0**2 / jnp.maximum(mse, 1e-9))
+
+    b = images.shape[0]
+    pad = (-b) % pipeline.ndev
+    if pad:
+        images = np.concatenate([images, images[:1].repeat(pad, 0)], 0)
+    return float(jax.jit(step)(jnp.asarray(images)))
