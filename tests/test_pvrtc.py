@@ -166,3 +166,71 @@ def test_fast_pipeline_parity(size, rng):
         ref = np.asarray(pvrtc_codec.encode_pvrtc_2bpp_device(jnp.asarray(img)))
         out = np.asarray(pvrtc_fast.encode_pvrtc_2bpp_fast(jnp.asarray(img)))
         np.testing.assert_array_equal(out, ref, err_msg=f"{size} {kind}")
+
+
+class TestPvrtc4bpp:
+    """4bpp extension: round-trip quality and format invariants."""
+
+    def test_sizes_and_validation(self, rng):
+        from texcomp import Pvrtc4bppCompressor
+
+        c = Pvrtc4bppCompressor()
+        assert c.compute_compressed_data_size(Format.RGBA, 64, 64) == 2048
+        img = rng.integers(0, 256, (16, 32, 4), dtype=np.uint8)
+        assert not c.compress(Format.RGBA, 16, 32, 0, img.tobytes(),
+                              CompressedImage())
+        img = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+        ci = CompressedImage()
+        assert c.compress(Format.RGBA, 16, 16, 0, img.tobytes(), ci)
+        assert c.is_valid_compressed_image(ci)
+        assert ci.get_data_size() == 16 * 16 // 2
+
+    def test_roundtrip_and_beats_2bpp(self, rng):
+        """4bpp (2 mod bits for EVERY pixel + 4x4 palette granularity) must
+        reconstruct better than 2bpp on the same content."""
+        from texcomp import Pvrtc4bppCompressor
+
+        h = w = 64
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(np.sin(xx * 2 * np.pi / w) * 100 + 128),
+             (np.sin(yy * 2 * np.pi / h) * 100 + 128),
+             (np.sin((xx + yy) * 2 * np.pi / w) * 50 + 128),
+             np.full((h, w), 255)], -1
+        ).astype(np.uint8)
+
+        c4 = Pvrtc4bppCompressor()
+        ci4 = CompressedImage()
+        assert c4.compress(Format.RGBA, h, w, 0, img.tobytes(), ci4)
+        buf4 = bytearray()
+        assert c4.decompress(ci4, buf4)
+        dec4 = np.frombuffer(bytes(buf4), np.uint8).reshape(h, w, 4)
+        mse4 = np.mean((dec4[..., :3].astype(float) - img[..., :3]) ** 2)
+        psnr4 = 10 * np.log10(255**2 / mse4)
+
+        c2 = PvrtcCompressor()
+        ci2 = CompressedImage()
+        assert c2.compress(Format.RGBA, h, w, 0, img.tobytes(), ci2)
+        buf2 = bytearray()
+        assert c2.decompress_extension(ci2, buf2)
+        dec2 = np.frombuffer(bytes(buf2), np.uint8).reshape(h, w, 4)
+        mse2 = np.mean((dec2[..., :3].astype(float) - img[..., :3]) ** 2)
+        psnr2 = 10 * np.log10(255**2 / mse2)
+
+        assert psnr4 > psnr2, (psnr4, psnr2)
+        assert psnr4 > 28, psnr4
+        assert np.all(dec4[..., 3] == 255)
+
+    def test_solid_roundtrip_exact_alpha(self, rng):
+        from texcomp import Pvrtc4bppCompressor
+
+        img = np.full((16, 16, 4), 200, dtype=np.uint8)
+        img[..., 3] = 255
+        c = Pvrtc4bppCompressor()
+        ci = CompressedImage()
+        assert c.compress(Format.RGBA, 16, 16, 0, img.tobytes(), ci)
+        buf = bytearray()
+        assert c.decompress(ci, buf)
+        dec = np.frombuffer(bytes(buf), np.uint8).reshape(16, 16, 4)
+        assert np.all(dec[..., 3] == 255)
+        assert np.abs(dec[..., :3].astype(int) - 200).max() <= 8

@@ -32,7 +32,7 @@ from texcomp.api.container import CompressedImage, Format, Metadata
 from texcomp.api.compressor import Compressor
 from texcomp.api.dxtc import DxtcCompressor
 from texcomp.api.etc import EtcCompressor, CompressionStrategy
-from texcomp.api.pvrtc import PvrtcCompressor
+from texcomp.api.pvrtc import Pvrtc4bppCompressor, PvrtcCompressor
 from texcomp.api.transcode import transcode_dxt1_to_etc1
 
 __version__ = "0.1.0"
@@ -46,6 +46,7 @@ __all__ = [
     "EtcCompressor",
     "CompressionStrategy",
     "PvrtcCompressor",
+    "Pvrtc4bppCompressor",
     "transcode_dxt1_to_etc1",
     "__version__",
 ]

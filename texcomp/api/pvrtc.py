@@ -131,3 +131,100 @@ class PvrtcCompressor(Compressor):
         )
         decompressed_buffer[:] = out.tobytes()
         return True
+
+
+class Pvrtc4bppCompressor(Compressor):
+    """PVRTC v1 4BPP RGBA compressor (EXTENSION — the reference implements
+    only 2BPP, pvrtc_compressor.h:16-17; BASELINE config 4 asks for 4bpp).
+
+    Same Compressor contract and validation style; 4x4 blocks, 64-bit
+    records, 0.5 bytes/pixel, square power-of-two images, full encode AND
+    decode support."""
+
+    name = "pvrtc4"
+
+    def supports_format(self, fmt: Format) -> bool:
+        return fmt == Format.RGBA
+
+    def is_valid_compressed_image(self, image: CompressedImage) -> bool:
+        md = image.get_metadata()
+        return (
+            md.format == Format.RGBA
+            and md.compressor_name == self.name
+            and md.uncompressed_height >= 4
+            and md.uncompressed_width >= 4
+            and md.compressed_width == md.compressed_height
+            and _is_power_of_two(md.uncompressed_height)
+            and _is_power_of_two(md.uncompressed_width)
+            and md.compressed_height == md.uncompressed_height
+            and md.compressed_width == md.uncompressed_width
+            and image.get_data_size()
+            == self.compute_compressed_data_size(
+                md.format, md.uncompressed_height, md.uncompressed_width
+            )
+        )
+
+    def compute_compressed_data_size(self, fmt, height, width) -> int:
+        return width * height // 2  # 4 bits/pixel
+
+    def compress(self, fmt, height, width, padding_bytes_per_row, buffer,
+                 image) -> bool:
+        if buffer is None or image is None or height == 0 or width == 0:
+            return False
+        if (not _is_power_of_two(width) or not _is_power_of_two(height)
+                or width != height or padding_bytes_per_row != 0
+                or width % 4 != 0):
+            return False
+
+        data_size = self.compute_compressed_data_size(fmt, height, width)
+        metadata = Metadata(
+            format=fmt, compressor_name=self.name,
+            uncompressed_height=height, uncompressed_width=width,
+            compressed_height=height, compressed_width=width,
+            padding_bytes_per_row=0,
+        )
+        if image.owns_data():
+            image.create_owned_data(metadata, data_size)
+        else:
+            if image.get_data_size() != data_size:
+                return False
+            image.set_metadata(metadata)
+
+        from texcomp.codecs import pvrtc4
+
+        img = h4.buffer_to_image_array(buffer, height, width, 4, 0)
+        out = np.asarray(pvrtc4.encode_pvrtc_4bpp_device(jnp.asarray(img)))
+        image.get_mutable_data()[:] = out.reshape(-1)
+        return True
+
+    def decompress(self, image, decompressed_buffer) -> bool:
+        if not self.is_valid_compressed_image(image) or decompressed_buffer is None:
+            return False
+        from texcomp.codecs import pvrtc4
+
+        md = image.get_metadata()
+        h, w = md.uncompressed_height, md.uncompressed_width
+        out = np.asarray(
+            pvrtc4.decode_pvrtc_4bpp_device(
+                jnp.asarray(image.get_data().reshape(-1, 8)), height=h, width=w
+            )
+        )
+        decompressed_buffer[:] = out.tobytes()
+        return True
+
+    def downsample(self, image, downsampled_image) -> bool:
+        return False
+
+    def pad(self, image, padded_height, padded_width, padded_image) -> bool:
+        return False
+
+    def compress_and_pad(self, fmt, height, width, padded_height, padded_width,
+                         padding_bytes_per_row, buffer, padded_image) -> bool:
+        return False
+
+    def create_solid_image(self, fmt, height, width, color, image) -> bool:
+        return False
+
+    def copy_subimage(self, image, start_row, start_column, height, width,
+                      subimage) -> bool:
+        return False

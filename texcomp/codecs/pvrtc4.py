@@ -1,0 +1,224 @@
+"""PVRTC v1 4-bits-per-pixel RGBA encode/decode (EXTENSION).
+
+The reference implements only the 2BPP variant (pvrtc_compressor.h:16-17);
+BASELINE config 4 calls for 4bpp. Same low-frequency-signal-modulation
+design (Fenney, "Texture Compression using Low-Frequency Signal
+Modulation"): two low-res palette images A/B bilinearly upscaled with
+wrap-around, plus per-pixel 2-bit modulation — but with 4x4 blocks, all 16
+modulation values stored (no checkerboard), and /16 bilinear weights.
+
+The encoder reuses the reference's 2BPP algorithm shape: GetExtremesFast
+5-axis extremes per block (with the same tie-break and reduction rules),
+ApplyColorChannelReduction bit-depth preview, early-exit BestModulation,
+and the same 16+15+1-bit color word; 64-bit block records in Z-order
+(square grids only, so plain Morton order is exact).
+
+Implemented with the gather-free dense patterns of ops/pvrtc_fast on
+(16, NB) block planes (the same layout as the DXT kernels).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from texcomp.codecs.pvrtc import zorder_block_permutation
+from texcomp.ops.pvrtc_fast import (
+    _encode_colors,
+    _first_max,
+    _first_min,
+    _reduce_a,
+)
+
+_U32 = jnp.uint32
+
+BLOCK = 4  # 4x4 blocks, 2 bits/pixel modulation + 64-bit record = 4 bpp
+
+
+def _to_block_planes16(image: jax.Array):
+    """(H, W, 4) uint8 -> 4 channels of (16, NB) int32 (dxt-style layout)."""
+    from texcomp.ops.dxt_pallas import _block_transpose_u32
+
+    px = jax.lax.bitcast_convert_type(image, jnp.uint32)
+    t = _block_transpose_u32(px).astype(jnp.int32)  # (16, NB), y*4+x order
+    return [(t >> (8 * c)) & 255 for c in range(4)]
+
+
+def _morph4(planes, image):
+    """Per-4x4-block extremes -> reduced A/B, mirroring GetExtremesFast
+    (pvrtc_compressor.cc:255-329) incl. the all-zero-axis quirk."""
+    r, g, b, a = planes
+    lightness = (77 * r + 150 * g + 28 * b) // 256
+    axes = [lightness, r, g, b, a]
+    pixel00 = [image[0, 0, c].astype(jnp.int32)[None, None] for c in range(4)]
+
+    best_diff = None
+    best_lo = None
+    best_hi = None
+    for f in axes:
+        lo = _first_min(f, planes)
+        hi = _first_max(f, planes, pixel00)
+        diff = sum(jnp.abs(h - l) for l, h in zip(lo, hi))
+        if best_diff is None:
+            best_diff, best_lo, best_hi = diff, lo, hi
+        else:
+            upd = diff > best_diff
+            best_lo = [jnp.where(upd, n, o) for o, n in zip(best_lo, lo)]
+            best_hi = [jnp.where(upd, n, o) for o, n in zip(best_hi, hi)]
+            best_diff = jnp.where(upd, diff, best_diff)
+
+    swap = sum(best_hi) < sum(best_lo)
+    lo = [jnp.where(swap, h, l) for l, h in zip(best_lo, best_hi)]
+    hi = [jnp.where(swap, l, h) for l, h in zip(best_lo, best_hi)]
+    return _reduce_a(lo, is_b=False), _reduce_a(hi, is_b=True)
+
+
+def _upscale4(low_ch, nb: int):
+    """Bilinear wrap upscale for 4x4 blocks: (1, NB) -> (16, NB).
+
+    For in-block (py, px): left block = bx-1 iff px < 2, top = by-1 iff
+    py < 2; weights xw = (px+2) & 3, yw = (py+2) & 3, /16."""
+    low = low_ch.reshape(nb, nb)
+    var = {}
+    for dy in (-1, 0, 1):
+        ry = jnp.roll(low, dy, axis=0) if dy else low
+        for dx in (-1, 0, 1):
+            v = jnp.roll(ry, dx, axis=1) if dx else ry
+            var[(dy, dx)] = v.reshape(1, -1)
+
+    s = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    py = s // 4
+    px = s % 4
+    left_prev = px < 2
+    top_prev = py < 2
+    xw = (px + 2) & 3
+    yw = (py + 2) & 3
+
+    def corner2(dy_pair, dx_pair):
+        dy_t, dy_b = dy_pair
+        dx_l, dx_r = dx_pair
+        out = 0
+        for tcase, dy in ((True, dy_t), (False, dy_b)):
+            for lcase, dx in ((True, dx_l), (False, dx_r)):
+                m = (top_prev if tcase else ~top_prev) & (
+                    left_prev if lcase else ~left_prev)
+                out = out + jnp.where(m, var[(dy, dx)], 0)
+        return out
+
+    c00 = corner2((1, 0), (1, 0))
+    c01 = corner2((1, 0), (0, -1))
+    c10 = corner2((0, -1), (1, 0))
+    c11 = corner2((0, -1), (0, -1))
+
+    wa = (BLOCK - yw) * (BLOCK - xw)
+    wb = (BLOCK - yw) * xw
+    wc = yw * (BLOCK - xw)
+    wd = yw * xw
+    return (wa * c00 + wb * c01 + wc * c10 + wd * c11) // (BLOCK * BLOCK)
+
+
+def _modulate4(planes, a_up, b_up):
+    """Early-exit best-of-4 modulation (BestModulation semantics)."""
+    diff0 = sum(jnp.abs(p - c) for p, c in zip(planes, a_up))
+    best = jnp.zeros_like(diff0)
+    best_diff = diff0
+    alive = jnp.ones_like(diff0, dtype=bool)
+    for mod, (s0, s1) in ((1, (5, 3)), (2, (3, 5)), (3, (0, 8))):
+        cand = [(s0 * a + s1 * b) // 8 for a, b in zip(a_up, b_up)]
+        diff = sum(jnp.abs(p - c) for p, c in zip(planes, cand))
+        take = alive & (diff < best_diff)
+        best = jnp.where(take, mod, best)
+        best_diff = jnp.where(take, diff, best_diff)
+        alive = take
+    return best  # (16, NB)
+
+
+@jax.jit
+def encode_pvrtc_4bpp_device(image: jax.Array) -> jax.Array:
+    """(H, W, 4) uint8 (square power-of-two, >= 4) -> (NB, 8) uint8 Z-order
+    4bpp records: 32-bit modulation word (2 bits/pixel, pixel (y, x) at bit
+    2*(y*4+x)) then the 32-bit color word, both little-endian."""
+    h, w = image.shape[0], image.shape[1]
+    nb = h // BLOCK
+    barrier = jax.lax.optimization_barrier
+
+    planes = barrier(_to_block_planes16(image))
+    a, b = _morph4(planes, image)
+    a = barrier(a)
+    b = barrier(b)
+    a_up = barrier([_upscale4(c, nb) for c in a])
+    b_up = barrier([_upscale4(c, nb) for c in b])
+    mod = barrier(_modulate4(planes, a_up, b_up))
+
+    s = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    mod_words = jnp.bitwise_or.reduce(
+        mod.astype(_U32) << (2 * s).astype(_U32), axis=0
+    )  # (NB,)
+    # mode flag bit 0 of the color word: 0 = standard weights. _encode_colors
+    # sets bit 0 = 1 unless modes == 0, so pass modes = 0.
+    modes0 = jnp.zeros((1, mod_words.shape[0]), dtype=jnp.int32)
+    color_words = _encode_colors(a, b, modes0)[0]
+
+    perm = jnp.asarray(zorder_block_permutation(nb, nb))
+    mod_words = mod_words[perm]
+    color_words = color_words[perm]
+    parts = [
+        mod_words & _U32(0xFF), (mod_words >> 8) & _U32(0xFF),
+        (mod_words >> 16) & _U32(0xFF), (mod_words >> 24) & _U32(0xFF),
+        color_words & _U32(0xFF), (color_words >> 8) & _U32(0xFF),
+        (color_words >> 16) & _U32(0xFF), (color_words >> 24) & _U32(0xFF),
+    ]
+    return jnp.stack(parts, axis=-1).astype(jnp.uint8)
+
+
+def _decode_color(word, is_b: bool):
+    from texcomp.codecs.pvrtc import _decode_color as dc
+
+    return dc(word, is_b)
+
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def decode_pvrtc_4bpp_device(data: jax.Array, *, height: int,
+                             width: int) -> jax.Array:
+    """(NB, 8) uint8 4bpp records -> (H, W, 4) uint8."""
+    from texcomp.ops.dxt_pallas import _unblock_transpose_u32
+
+    h, w = height, width
+    nb = h // BLOCK
+    d = data.astype(_U32)
+    mod_words = d[:, 0] | (d[:, 1] << 8) | (d[:, 2] << 16) | (d[:, 3] << 24)
+    color_words = d[:, 4] | (d[:, 5] << 8) | (d[:, 6] << 16) | (d[:, 7] << 24)
+
+    perm = zorder_block_permutation(nb, nb)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    inv = jnp.asarray(inv)
+    mod_words = mod_words[inv][None, :]  # (1, NB)
+    color_words = color_words[inv][None, :]
+
+    # _decode_color returns (..., 4); split into channel lists of (1, NB).
+    a4 = _decode_color(color_words[0], is_b=False)  # (NB, 4)
+    b4 = _decode_color(color_words[0], is_b=True)
+    a = [a4[:, c][None, :] for c in range(4)]
+    b = [b4[:, c][None, :] for c in range(4)]
+    a_up = [_upscale4(c, nb) for c in a]
+    b_up = [_upscale4(c, nb) for c in b]
+
+    s = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    mod = ((jnp.broadcast_to(mod_words, (16, mod_words.shape[1]))
+            >> (2 * s).astype(_U32)) & _U32(3)).astype(jnp.int32)
+
+    out = []
+    for au, bu in zip(a_up, b_up):
+        ch = au
+        ch = jnp.where(mod == 1, (5 * au + 3 * bu) // 8, ch)
+        ch = jnp.where(mod == 2, (3 * au + 5 * bu) // 8, ch)
+        ch = jnp.where(mod == 3, bu, ch)
+        out.append(jnp.clip(ch, 0, 255))
+    px = (out[0].astype(_U32) | (out[1].astype(_U32) << 8)
+          | (out[2].astype(_U32) << 16) | (out[3].astype(_U32) << 24))
+    img = _unblock_transpose_u32(px, h, w)
+    return jax.lax.bitcast_convert_type(img, jnp.uint8)
