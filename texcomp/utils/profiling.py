@@ -1,0 +1,61 @@
+"""Profiling helpers.
+
+The reference's performance story is code comments on integer tricks
+(color_util.h:248-265); ours is measurable: jax.profiler traces plus an
+honest throughput timer that works on remote-tunneled devices where
+``block_until_ready`` returns before execution finishes (see bench.py).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@contextlib.contextmanager
+def device_trace(logdir: str = "/tmp/texcomp_trace"):
+    """Capture a jax.profiler trace around a block of device work.
+
+    View with TensorBoard or xprof. Usage:
+
+        with device_trace("/tmp/trace"):
+            encode(...)
+    """
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def throughput(op, arg, *, pixels: int, iters: int = 9, reps: int = 3) -> float:
+    """Mpixels/sec of ``op(arg) -> array``, robust to async/tunneled
+    dispatch: K data-dependent iterations inside one jitted lax.scan, a
+    4-byte checksum forced to host, two K values differenced to cancel
+    fixed overhead."""
+
+    @partial(jax.jit, static_argnames=("n",))
+    def loop(x, n):
+        def body(carry, _):
+            out = op(x ^ (carry & jnp.uint32(0xFF)).astype(x.dtype))
+            return out.astype(jnp.uint32).sum(), None
+
+        final, _ = jax.lax.scan(body, jnp.uint32(0), None, length=n)
+        return final
+
+    def run(n):
+        np.asarray(loop(arg, n))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(loop(arg, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = max((run(1 + iters) - run(1)) / iters, 1e-9)
+    return pixels / dt / 1e6
