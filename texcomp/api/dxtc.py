@@ -142,7 +142,7 @@ class DxtcCompressor(Compressor):
             * self._block_size(fmt)
         )
 
-    def _encode_image_fn(self, fmt: Format):
+    def _encode_image_fn(self, fmt: Format, force_no_swap: bool = False):
         """Fused Pallas image-level encode (TPU); None on CPU backends."""
         from texcomp.ops import use_pallas
 
@@ -150,7 +150,7 @@ class DxtcCompressor(Compressor):
             return None
         from texcomp.ops import dxt_pallas
 
-        swap = needs_red_and_blue_swapped(fmt)
+        swap = needs_red_and_blue_swapped(fmt) and not force_no_swap
         is_dxt1 = self._is_dxt1(fmt)
 
         def fn(img, height, width, grid_height, grid_width, outside):
@@ -175,7 +175,7 @@ class DxtcCompressor(Compressor):
             encode_image_fn=self._encode_image_fn(fmt),
         )
 
-    def _decode_image_fn(self, fmt: Format):
+    def _decode_image_fn(self, fmt: Format, force_no_swap: bool = False):
         """Fused Pallas image-level decode (TPU); None on CPU backends."""
         from texcomp.ops import use_pallas
 
@@ -183,7 +183,7 @@ class DxtcCompressor(Compressor):
             return None
         from texcomp.ops import dxt_pallas
 
-        swap = needs_red_and_blue_swapped(fmt)
+        swap = needs_red_and_blue_swapped(fmt) and not force_no_swap
         is_dxt1 = self._is_dxt1(fmt)
 
         def fn(data, grid_height, grid_width):
@@ -218,8 +218,11 @@ class DxtcCompressor(Compressor):
         else:
             enc = lambda blocks, outside: _encode_dxt5(blocks, outside, False)
             dec = lambda data: _decode_dxt5(data, False)
-        return h4.downsample(enc, dec, image, downsampled_image,
-                             self._block_size(fmt))
+        return h4.downsample(
+            enc, dec, image, downsampled_image, self._block_size(fmt),
+            encode_image_fn=self._encode_image_fn(fmt, force_no_swap=True),
+            decode_image_fn=self._decode_image_fn(fmt, force_no_swap=True),
+        )
 
     def pad(self, image, padded_height, padded_width, padded_image) -> bool:
         if not self.is_valid_compressed_image(image) or padded_image is None:

@@ -168,6 +168,8 @@ class EtcCompressor(Compressor):
             lambda blocks, outside: _encode(blocks, strategy),
             lambda data: _decode(data),
             image, downsampled_image, _BLOCK_SIZE,
+            encode_image_fn=self._encode_image_fn(),
+            decode_image_fn=self._decode_image_fn(),
         )
 
     def pad(self, image, padded_height, padded_width, padded_image) -> bool:

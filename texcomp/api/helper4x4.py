@@ -226,6 +226,8 @@ def downsample(
     image: CompressedImage,
     downsampled_image: CompressedImage,
     block_size: int,
+    encode_image_fn=None,
+    decode_image_fn=None,
 ) -> bool:
     """Compressor4x4Helper::Downsample (compressor4x4_helper.h:264-391).
 
@@ -253,6 +255,27 @@ def downsample(
         return False
 
     data = image.get_data().reshape(nbr * nbc, block_size)
+    components = num_format_components(md.format)
+    use_device = (
+        encode_image_fn is not None and decode_image_fn is not None
+        and nbr > 1 and nbc > 1
+    )
+    if use_device:
+        # Device fast path (common case of even multi-block grids):
+        # decode -> 2x2 truncating average -> re-encode, no tiling rules.
+        img_dev = np.asarray(decode_image_fn(data, 4 * nbr, 4 * nbc))
+        img_dev = img_dev[:, :, :components].astype(np.int64)
+        h2, w2 = 2 * nbr, 2 * nbc
+        avg = (
+            img_dev.reshape(h2, 2, w2, 2, components).sum(axis=(1, 3)) // 4
+        ).astype(np.uint8)
+        outside = np.zeros((h2 // 4) * (w2 // 4), dtype=bool)
+        encoded = np.asarray(
+            encode_image_fn(avg, h2, w2, h2, w2, outside)
+        )
+        downsampled_image.get_mutable_data()[:] = encoded.reshape(-1)
+        return True
+
     pixels = np.asarray(decode_fn(data))  # (N, 16, C)
     c = pixels.shape[-1]
     img = (
