@@ -113,6 +113,34 @@ def bench_pvrtc_encode(h: int = 1024, w: int = 1024) -> float:
     return (h * w) / dt / 1e6
 
 
+def bench_pipeline(n_textures: int = 256, size: int = 256) -> float:
+    """Mixed-codec asset-pipeline throughput (textures of size^2, Mpix/s):
+    the single-chip slice of BASELINE config 5."""
+    from texcomp.dist.pipeline import _batch_encode
+
+    rng = np.random.default_rng(0)
+    per = n_textures // 4
+    imgs3 = jax.device_put(
+        rng.integers(0, 256, (per, size, size, 3), dtype=np.uint8))
+    imgs4 = jax.device_put(
+        rng.integers(0, 256, (per, size, size, 4), dtype=np.uint8))
+
+    def op3(x):
+        a = _batch_encode(x, "dxt1", 2)
+        b = _batch_encode(x, "etc1", 2)
+        return a.astype(jnp.uint32).sum() + b.astype(jnp.uint32).sum()
+
+    def op4(x):
+        a = _batch_encode(x, "dxt5", 2)
+        b = _batch_encode(x, "pvrtc", 2)
+        return a.astype(jnp.uint32).sum() + b.astype(jnp.uint32).sum()
+
+    dt3 = _time_op(lambda x: op3(x)[None], imgs3, iters=5)
+    dt4 = _time_op(lambda x: op4(x)[None], imgs4, iters=5)
+    total_pix = n_textures * size * size
+    return total_pix / (dt3 + dt4) / 1e6
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--all", action="store_true",
@@ -135,6 +163,7 @@ def main() -> int:
             "etc1_encode_throughput": bench_etc1_encode,
             "etc1_decode_throughput": bench_etc1_decode,
             "pvrtc_encode_throughput": bench_pvrtc_encode,
+            "pipeline_mixed_throughput": bench_pipeline,
         }
         for name, fn in extras.items():
             try:

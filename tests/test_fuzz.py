@@ -1,0 +1,117 @@
+"""Randomized differential testing vs the C++ oracle.
+
+Each trial draws a random size/format/padding, compresses, decompresses,
+and applies a random compressed-domain operation — asserting byte parity
+at every step. This is the Kodak-style quality criterion in its strongest
+form: identical bytes imply identical PSNR, so encode quality == reference
+by construction.
+"""
+
+import numpy as np
+import pytest
+
+from texcomp import (
+    CompressedImage,
+    CompressionStrategy,
+    DxtcCompressor,
+    EtcCompressor,
+    Format,
+)
+from tests.conftest import make_test_image
+
+_FMT_COMPONENTS = {Format.RGB: 3, Format.BGR: 3, Format.RGBA: 4,
+                   Format.BGRA: 4}
+
+
+@pytest.mark.parametrize("trial", range(20))
+def test_fuzz_differential(trial, oracle):
+    rng = np.random.default_rng(10_000 + trial)
+    use_etc = trial % 3 == 2
+    if use_etc:
+        fmt = Format.RGB
+        strategy = int(rng.integers(0, 4))
+        comp = EtcCompressor(CompressionStrategy(strategy))
+        name = "etc"
+    else:
+        fmt = Format(int(rng.integers(0, 4)))
+        strategy = 2
+        comp = DxtcCompressor()
+        name = "dxtc"
+    comps = _FMT_COMPONENTS[fmt]
+
+    h = int(rng.integers(1, 66))
+    w = int(rng.integers(1, 66))
+    padding = int(rng.integers(0, 9)) if rng.random() < 0.3 else 0
+
+    kind = ["mixed", "solid"][int(rng.random() < 0.25)]
+    img = make_test_image(rng, h, w, comps, kind=kind)
+    buf = np.zeros(h * (w * comps + padding), dtype=np.uint8)
+    rows = buf.reshape(h, w * comps + padding)
+    rows[:, : w * comps] = img.reshape(h, -1)
+
+    # Compress parity.
+    ref, ch, cw = oracle.compress(name, fmt, h, w, padding, buf.tobytes(),
+                                  strategy=strategy)
+    ci = CompressedImage()
+    assert comp.compress(fmt, h, w, padding, buf.tobytes(), ci)
+    np.testing.assert_array_equal(ci.get_data(), ref,
+                                  err_msg=f"compress {name} {fmt} {h}x{w}")
+
+    # Decompress parity (padding == 0 only: the reference's padded-output
+    # path overflows its own buffer; see helper4x4.image_array_to_buffer).
+    if padding == 0:
+        refdec = oracle.decompress(name, fmt, h, w, ch, cw, 0, ref, comps,
+                                   strategy=strategy)
+        out = bytearray()
+        assert comp.decompress(ci, out)
+        assert bytes(out) == refdec.tobytes(), f"decompress {name} {h}x{w}"
+
+    # One random compressed-domain op.
+    op = int(rng.integers(0, 4))
+    if op == 0:  # pad
+        ph = h + int(rng.integers(0, 20))
+        pw = w + int(rng.integers(0, 20))
+        mine = CompressedImage()
+        got = comp.pad(ci, ph, pw, mine)
+        refp = oracle.pad(name, fmt, h, w, ch, cw, padding, ref, ph, pw,
+                          strategy=strategy)
+        assert got == (refp is not None)
+        if got:
+            np.testing.assert_array_equal(mine.get_data(), refp[0],
+                                          err_msg=f"pad {ph}x{pw}")
+    elif op == 1:  # downsample
+        mine = CompressedImage()
+        got = comp.downsample(ci, mine)
+        refd = oracle.downsample(name, fmt, h, w, ch, cw, padding, ref,
+                                 strategy=strategy)
+        assert got == (refd is not None), f"downsample accept {h}x{w}"
+        if got:
+            np.testing.assert_array_equal(mine.get_data(), refd[0],
+                                          err_msg=f"downsample {h}x{w}")
+    elif op == 2:  # copy_subimage with 4-aligned random region
+        nbr = (ch // 4) if ch else 0
+        nbc = (cw // 4) if cw else 0
+        if nbr and nbc:
+            r0 = 4 * int(rng.integers(0, nbr))
+            c0 = 4 * int(rng.integers(0, nbc))
+            sh = 4 * int(rng.integers(1, nbr - r0 // 4 + 1))
+            sw = 4 * int(rng.integers(1, nbc - c0 // 4 + 1))
+            mine = CompressedImage()
+            got = comp.copy_subimage(ci, r0, c0, sh, sw, mine)
+            refs = oracle.copy_subimage(name, fmt, h, w, ch, cw, padding,
+                                        ref, r0, c0, sh, sw,
+                                        strategy=strategy)
+            assert got == (refs is not None)
+            if got:
+                np.testing.assert_array_equal(mine.get_data(), refs[0])
+    else:  # compress_and_pad
+        ph = h + int(rng.integers(0, 12))
+        pw = w + int(rng.integers(0, 12))
+        mine = CompressedImage()
+        assert comp.compress_and_pad(fmt, h, w, ph, pw, padding,
+                                     buf.tobytes(), mine)
+        refc, _, _ = oracle.compress_and_pad(name, fmt, h, w, ph, pw,
+                                             padding, buf.tobytes(),
+                                             strategy=strategy)
+        np.testing.assert_array_equal(mine.get_data(), refc,
+                                      err_msg=f"compress_and_pad {ph}x{pw}")
