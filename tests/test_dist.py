@@ -77,3 +77,46 @@ def test_quality_report_runs(rng):
                        for _ in range(8)])
     psnr = quality_report(pipeline, images, "dxt1")
     assert psnr > 25  # solid textures encode near-losslessly
+
+
+def test_atlas_sharded_matches_single_device(rng):
+    """Block-row sharding of one big atlas: same bytes on 1 vs 8 devices."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from texcomp.dist.mesh import dxt1_encode_atlas_sharded
+
+    img = make_test_image(rng, 64, 32, 3)
+    m1 = Mesh(np.array(jax.devices()[:1]), ("data",))
+    m8 = Mesh(np.array(jax.devices()[:8]), ("data",))
+    out1 = np.asarray(dxt1_encode_atlas_sharded(jnp.asarray(img), m1))
+    out8 = np.asarray(dxt1_encode_atlas_sharded(jnp.asarray(img), m8))
+    np.testing.assert_array_equal(out1, out8)
+
+    # and equals the plain codec result
+    from texcomp.codecs import dxt
+
+    blocks = (img.astype(np.int32).reshape(16, 4, 8, 4, 3)
+              .transpose(0, 2, 1, 3, 4).reshape(-1, 16, 3))
+    ref = np.asarray(dxt.encode_dxt1_blocks(jnp.asarray(blocks)))
+    np.testing.assert_array_equal(out1, ref)
+
+
+def test_pipeline_pvrtc4(rng):
+    from jax.sharding import Mesh
+
+    from texcomp import Pvrtc4bppCompressor
+
+    pipeline = AssetPipeline(Mesh(np.array(jax.devices()[:4]), ("data",)))
+    imgs = np.stack([make_test_image(rng, 16, 16, 4) for _ in range(6)])
+    out = pipeline.encode_group(imgs, "pvrtc4")
+    assert out.shape == (6, 16, 8)  # 16 blocks of 8 bytes for 16x16
+
+    assets = [TextureAsset(f"t{i}", imgs[i], "pvrtc4") for i in range(6)]
+    results = pipeline.run(assets)
+    c = Pvrtc4bppCompressor()
+    for i in range(6):
+        ci = results[f"t{i}"]
+        assert c.is_valid_compressed_image(ci)
+        buf = bytearray()
+        assert c.decompress(ci, buf)

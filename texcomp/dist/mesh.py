@@ -82,6 +82,34 @@ def _step(images, mesh):
     return encoded, psnr
 
 
+def dxt1_encode_atlas_sharded(image: jax.Array, mesh: Mesh) -> jax.Array:
+    """Encode ONE giant atlas with its block rows sharded across chips.
+
+    (H, W, 3) uint8, H a multiple of 4 * mesh devices -> (N, 8) uint8 in
+    row-major block order. Blocks are independent, so each device encodes
+    its horizontal strip with zero communication; results concatenate along
+    the block axis. This is the single-image analog of data parallelism —
+    use it when one texture is too large (or too latency-critical) for one
+    chip.
+    """
+    from texcomp.ops import dxt1_encode_image_op
+
+    ndev = int(np.prod(mesh.devices.shape))
+    h = image.shape[0]
+    assert h % (4 * ndev) == 0, "atlas rows must split into 4-row multiples"
+
+    def local(img_strip):
+        return dxt1_encode_image_op(img_strip)
+
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=P("data"), out_specs=P("data"),
+        )
+    )
+    return fn(image)
+
+
 def training_step_multichip(n_devices: int) -> None:
     """Dry-run entry: build an n-device mesh, jit the full sharded step, and
     execute one step on tiny shapes. Used by __graft_entry__.dryrun_multichip

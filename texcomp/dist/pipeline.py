@@ -31,10 +31,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from texcomp.api.container import CompressedImage, Format, Metadata
 from texcomp.blocks import num_blocks
 
-_BLOCK_BYTES = {"dxt1": 8, "dxt5": 16, "etc1": 8, "pvrtc": 8}
+_BLOCK_BYTES = {"dxt1": 8, "dxt5": 16, "etc1": 8, "pvrtc": 8, "pvrtc4": 8}
 _FORMATS = {"dxt1": Format.RGB, "dxt5": Format.RGBA, "etc1": Format.RGB,
-            "pvrtc": Format.RGBA}
-_NAMES = {"dxt1": "dxtc", "dxt5": "dxtc", "etc1": "etc", "pvrtc": "pvrtc"}
+            "pvrtc": Format.RGBA, "pvrtc4": Format.RGBA}
+_NAMES = {"dxt1": "dxtc", "dxt5": "dxtc", "etc1": "etc", "pvrtc": "pvrtc",
+          "pvrtc4": "pvrtc4"}
 
 
 @dataclass
@@ -59,6 +60,10 @@ def _batch_encode(images: jax.Array, codec: str, strategy: int) -> jax.Array:
         from texcomp.ops import pvrtc_encode_image_op
 
         return jax.vmap(pvrtc_encode_image_op)(images)
+    if codec == "pvrtc4":
+        from texcomp.codecs.pvrtc4 import encode_pvrtc_4bpp_device
+
+        return jax.vmap(encode_pvrtc_4bpp_device)(images)
 
     if use_pallas():
         from texcomp.ops import dxt_pallas, etc_pallas
@@ -155,7 +160,7 @@ class AssetPipeline:
                     a = assets[i]
                     h, w = a.image.shape[0], a.image.shape[1]
                     ci = CompressedImage()
-                    if codec == "pvrtc":
+                    if codec in ("pvrtc", "pvrtc4"):
                         md = Metadata(_FORMATS[codec], _NAMES[codec],
                                       h, w, h, w, 0)
                     else:
