@@ -68,14 +68,14 @@ def test_strided_copy_rows_matches_fallback(lib, rng, monkeypatch):
     np.testing.assert_array_equal(a, b)
 
 
-def test_zorder_perm_matches_reference(lib):
-    from texcomp.codecs.pvrtc import zorder_block_permutation
-
+def test_zorder_perm_matches_fallback(lib, monkeypatch):
     for nbx, nby in [(2, 4), (8, 16), (32, 64)]:
-        np.testing.assert_array_equal(
-            native.zorder_perm(nbx, nby),
-            zorder_block_permutation(nbx, nby),
-        )
+        a = native.zorder_perm(nbx, nby)  # C++
+        b = _with_fallback(monkeypatch, native.zorder_perm, nbx, nby)  # numpy
+        np.testing.assert_array_equal(a, b)
+    # FromZOrder spot values (pvrtc_compressor.cc:80-86): i=1 -> (x=0,y=1).
+    p = native.zorder_perm(2, 4)
+    assert p[0] == 0 and p[1] == 2 and p[2] == 1 and p[3] == 3
 
 
 def test_permute_records_matches_fallback(lib, rng, monkeypatch):

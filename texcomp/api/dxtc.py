@@ -120,12 +120,20 @@ class DxtcCompressor(Compressor):
             from texcomp.codecs import dxt_hq
 
             if self._is_dxt1(fmt):
-                enc = lambda blocks, outside: np.asarray(
-                    dxt_hq.encode_dxt1_hq_blocks(jnp.asarray(blocks)))
+                def enc(blocks, outside):
+                    n = blocks.shape[0]
+                    blocks, _ = _pad_batch(jnp.asarray(blocks), outside,
+                                           _bucket(n))
+                    return np.asarray(
+                        dxt_hq.encode_dxt1_hq_blocks(blocks))[:n]
             else:
-                enc = lambda blocks, outside: np.asarray(
-                    dxt_hq.encode_dxt5_hq_blocks(jnp.asarray(blocks),
-                                                 jnp.asarray(outside)))
+                def enc(blocks, outside):
+                    n = blocks.shape[0]
+                    blocks, outside = _pad_batch(jnp.asarray(blocks),
+                                                 outside, _bucket(n))
+                    return np.asarray(
+                        dxt_hq.encode_dxt5_hq_blocks(
+                            blocks, jnp.asarray(outside)))[:n]
             dec = (lambda data: _decode_dxt1(data, swap)) if self._is_dxt1(
                 fmt) else (lambda data: _decode_dxt5(data, swap))
             return enc, dec
@@ -239,7 +247,6 @@ class DxtcCompressor(Compressor):
         if not self.is_valid_compressed_image(image) or downsampled_image is None:
             return False
         fmt = image.get_metadata().format
-        encode_fn, decode_fn = self._codec_fns(fmt)
         # Downsample re-encodes with swap_red_and_blue=false
         # (compressor4x4_helper.h:602-607: decode/encode called with false).
         if self._is_dxt1(fmt):

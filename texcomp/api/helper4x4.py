@@ -103,16 +103,16 @@ def image_array_to_buffer(
     buffer correctly instead. For padding == 0 (the only well-defined case)
     the bytes are identical.
     """
+    from texcomp import native
+
     h, w, c = image.shape
     if padding_bytes_per_row == 0:
         return image.reshape(-1).copy()
     bpr = w * c + padding_bytes_per_row
-    out = np.zeros((h - 1) * bpr + w * c, dtype=np.uint8)
-    rows = np.lib.stride_tricks.as_strided(
-        out, shape=(h, w * c), strides=(bpr, 1)
+    return native.strided_copy_rows(
+        image, rows=h, row_bytes=w * c, src_stride=w * c, dst_stride=bpr,
+        dst_size=(h - 1) * bpr + w * c,
     )
-    rows[:] = image.reshape(h, w * c)
-    return out
 
 
 def _grid_view(image: CompressedImage, block_size: int) -> np.ndarray:

@@ -90,7 +90,7 @@ def _best_const_colors(target, always_4_color: bool):
         which = jnp.where(upd, 2, which)
         c0_16 = jnp.where(upd, lo, c0_16)
         c1_16 = jnp.where(upd, hi, c1_16)
-        min_error = jnp.minimum(min_error, jnp.where(upd, err, min_error))
+        min_error = jnp.where(upd, err, min_error)
 
     # Thirds (1/3-interpolation) candidate.
     t0 = (lut(tr, 0), lut(tg, 4), lut(tb, 0))

@@ -120,7 +120,7 @@ def _pca_endpoints(rgb_f):
     return ([e0[:, c] for c in range(3)], [e1[:, c] for c in range(3)])
 
 
-def _hq_color_words(rgb, always4_unused: bool = True):
+def _hq_color_words(rgb):
     """HQ endpoint search. rgb: (N, 16, 3) int32. Returns (c0_16, c1_16,
     rows) like dxt_ref._encode_dxt1_words, always using 4-color mode."""
     rgb_f = rgb.astype(jnp.float32)

@@ -41,15 +41,11 @@ _U32 = jnp.uint32
 @lru_cache(maxsize=64)
 def zorder_block_permutation(nbx: int, nby: int) -> np.ndarray:
     """perm[i] = row-major block index for Z-order output slot i
-    (FromZOrder, pvrtc_compressor.cc:80-86)."""
-    n = nbx * nby
-    i = np.arange(n, dtype=np.uint64)
-    x = np.zeros(n, dtype=np.uint64)
-    y = np.zeros(n, dtype=np.uint64)
-    for j in range(16):
-        x |= ((i >> np.uint64(j * 2 + 1)) & np.uint64(1)) << np.uint64(j)
-        y |= ((i >> np.uint64(j * 2)) & np.uint64(1)) << np.uint64(j)
-    return (y * nbx + x).astype(np.int32)
+    (FromZOrder, pvrtc_compressor.cc:80-86). Computed by the native host
+    runtime (numpy fallback inside), cached per grid size."""
+    from texcomp import native
+
+    return native.zorder_perm(nbx, nby)
 
 
 def _apply_bit_depth_reduction(v, bit_depth: int):
@@ -261,8 +257,7 @@ def _block_modulation_data(mod, modes):
     # at bitpos 0 (average4 vs other) and bitpos 20 (vertical vs horizontal).
     bits = m.astype(jnp.int32)
     modes_b = modes[:, :, None, None]
-    at0 = (_BITPOS_1BPP * 0 + _BITPOS_2BPP) == 0
-    at0 = jnp.asarray(at0 & _CHECKER)
+    at0 = jnp.asarray((_BITPOS_2BPP == 0) & _CHECKER)
     at20 = jnp.asarray((_BITPOS_2BPP == 20) & _CHECKER)
     # bitpos 0: average4 -> bit &= 2, else bit |= 1 (:476-481)
     bits = jnp.where(

@@ -184,8 +184,8 @@ def quality_report(pipeline: AssetPipeline, images: np.ndarray,
 
     mesh = pipeline.mesh
 
-    def step(imgs):
-        def local(x):
+    def step(imgs, weights):
+        def local(x, wts):
             b, h, w, c = x.shape
             enc = _batch_encode(x, codec, 2)
             if codec == "dxt1":
@@ -201,19 +201,22 @@ def quality_report(pipeline: AssetPipeline, images: np.ndarray,
                 .reshape(-1, 16, c)
             )(x)
             err = (dec - blocks).astype(jnp.float32)
-            se = jnp.sum(err * err)
-            cnt = jnp.float32(err.size)
-            # ICI collective: global mean across shards.
-            se = jax.lax.psum(se, "data")
-            cnt = jax.lax.psum(cnt, "data")
-            return se / cnt
+            # Per-image sums weighted so batch-padding duplicates don't
+            # bias the mean, then one global psum (the only collective).
+            se = jnp.sum(err * err, axis=(1, 2, 3)) * wts
+            cnt = wts * jnp.float32(err[0].size)
+            se = jax.lax.psum(jnp.sum(se), "data")
+            cnt = jax.lax.psum(jnp.sum(cnt), "data")
+            return se / jnp.maximum(cnt, 1.0)
 
-        mse = jax.shard_map(local, mesh=mesh, in_specs=P("data"),
-                            out_specs=P())(imgs)
+        mse = jax.shard_map(local, mesh=mesh, in_specs=(P("data"), P("data")),
+                            out_specs=P())(imgs, weights)
         return 10.0 * jnp.log10(255.0**2 / jnp.maximum(mse, 1e-9))
 
     b = images.shape[0]
     pad = (-b) % pipeline.ndev
+    weights = np.ones(b + pad, dtype=np.float32)
     if pad:
         images = np.concatenate([images, images[:1].repeat(pad, 0)], 0)
-    return float(jax.jit(step)(jnp.asarray(images)))
+        weights[b:] = 0.0
+    return float(jax.jit(step)(jnp.asarray(images), jnp.asarray(weights)))

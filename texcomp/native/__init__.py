@@ -133,19 +133,27 @@ def strided_copy_rows(src: np.ndarray, rows: int, row_bytes: int,
 
 
 def zorder_perm(nbx: int, nby: int) -> np.ndarray:
-    """Z-order block permutation (pvrtc_compressor.cc:80-86)."""
+    """Z-order block permutation (pvrtc_compressor.cc:80-86): perm[i] =
+    row-major block index for Z-order output slot i. This is the canonical
+    implementation; codecs.pvrtc.zorder_block_permutation caches it."""
     lib = get_lib()
     if lib is not None:
         out = np.empty(nbx * nby, dtype=np.int32)
         lib.th_zorder_perm(_iptr(out), nbx, nby)
         return out
-    from texcomp.codecs.pvrtc import zorder_block_permutation
-
-    return zorder_block_permutation(nbx, nby)
+    n = nbx * nby
+    i = np.arange(n, dtype=np.uint64)
+    x = np.zeros(n, dtype=np.uint64)
+    y = np.zeros(n, dtype=np.uint64)
+    for j in range(16):
+        x |= ((i >> np.uint64(j * 2 + 1)) & np.uint64(1)) << np.uint64(j)
+        y |= ((i >> np.uint64(j * 2)) & np.uint64(1)) << np.uint64(j)
+    return (y * nbx + x).astype(np.int32)
 
 
 def permute_records(src: np.ndarray, perm: np.ndarray) -> np.ndarray:
-    """dst[i] = src[perm[i]] over (N, record_bytes) uint8."""
+    """dst[i] = src[perm[i]] over (N, record_bytes) uint8 — host-side block
+    reordering (e.g. Z-order packing when records are already on host)."""
     lib = get_lib()
     if lib is not None:
         src = np.ascontiguousarray(src)
