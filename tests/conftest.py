@@ -23,7 +23,10 @@ import jax  # noqa: E402
 
 # The environment's sitecustomize may register an accelerator plugin and
 # override JAX_PLATFORMS programmatically; force CPU for tests regardless.
-jax.config.update("jax_platforms", "cpu")
+# Set TEXCOMP_TEST_BACKEND=accel to run the suite on the real accelerator
+# (exercises the Pallas paths; device-count-dependent tests self-skip).
+if os.environ.get("TEXCOMP_TEST_BACKEND") != "accel":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
