@@ -177,3 +177,33 @@ def test_etc_roundtrip_quality(rng):
         255**2 / np.mean((dec.astype(float) - img.astype(float)) ** 2)
     )
     assert psnr > 25, psnr
+
+
+def test_etc_hq_never_worse_and_better(rng):
+    """quality='high' (EXTENSION): never worse than the reference encoder,
+    strictly better on a meaningful fraction of blocks."""
+    import jax.numpy as jnp
+
+    rgb = rng.integers(0, 256, (600, 16, 3)).astype(np.int32)
+    rgb[100:120] = (np.arange(16)[None, :, None] * 3
+                    + rng.integers(0, 64, (20, 1, 3))).astype(np.int32)
+    ref = np.asarray(etc_codec.encode_etc1_blocks(jnp.asarray(rgb), 2))
+    hq = np.asarray(etc_codec.encode_etc1_hq_blocks(jnp.asarray(rgb)))
+    dref = np.asarray(etc_codec.decode_etc1_blocks(jnp.asarray(ref)))
+    dhq = np.asarray(etc_codec.decode_etc1_blocks(jnp.asarray(hq)))
+    eref = np.sum((dref - rgb) ** 2, axis=(1, 2))
+    ehq = np.sum((dhq - rgb) ** 2, axis=(1, 2))
+    assert np.all(ehq <= eref)
+    assert np.sum(ehq < eref) > 50
+
+    # API plumbing: HQ payloads decode under the plain decoder.
+    img = make_test_image(rng, 16, 16, 3)
+    c = EtcCompressor(quality="high")
+    ci = CompressedImage()
+    assert c.compress(Format.RGB, 16, 16, 0, img.tobytes(), ci)
+    assert EtcCompressor().is_valid_compressed_image(ci)
+    buf = bytearray()
+    assert EtcCompressor().decompress(ci, buf)
+
+    with pytest.raises(ValueError):
+        EtcCompressor(quality="ultra")

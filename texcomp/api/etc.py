@@ -37,11 +37,13 @@ def _bucket(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
-def _encode(blocks, strategy: int) -> np.ndarray:
+def _encode(blocks, strategy: int, quality: str = "reference") -> np.ndarray:
     n = blocks.shape[0]
     padded = _bucket(n)
     if padded != n:
         blocks = jnp.pad(blocks, ((0, padded - n), (0, 0), (0, 0)))
+    if quality == "high":
+        return np.asarray(etc.encode_etc1_hq_blocks(blocks))[:n]
     return np.asarray(etc.encode_etc1_blocks(blocks, strategy))[:n]
 
 
@@ -54,14 +56,27 @@ def _decode(data) -> np.ndarray:
 
 
 class EtcCompressor(Compressor):
-    """ETC1 compressor (etc_compressor.h:53-109)."""
+    """ETC1 compressor (etc_compressor.h:53-109).
+
+    ``quality``:
+      * "reference" (default) — byte-identical to the C++ reference under
+        the selected strategy.
+      * "high" — EXTENSION: evaluates truncated and round-exact base-color
+        quantization for both flips with the exhaustive codeword search and
+        keeps the minimum true-error encoding (provably never worse than
+        the reference's kSmallerError). Payloads remain standard ETC1.
+    """
 
     name = "etc"
 
     def __init__(
-        self, strategy: CompressionStrategy = CompressionStrategy.SMALLER_ERROR
+        self, strategy: CompressionStrategy = CompressionStrategy.SMALLER_ERROR,
+        quality: str = "reference",
     ):
+        if quality not in ("reference", "high"):
+            raise ValueError(f"unknown quality {quality!r}")
         self._strategy = int(strategy)
+        self._quality = quality
 
     def set_compression_strategy(self, strategy: CompressionStrategy) -> None:
         """etc_compressor.h:71-76."""
@@ -105,7 +120,7 @@ class EtcCompressor(Compressor):
     def _encode_image_fn(self):
         from texcomp.ops import use_pallas
 
-        if not use_pallas():
+        if not use_pallas() or self._quality == "high":
             return None
         from texcomp.ops import etc_pallas
 
@@ -146,8 +161,9 @@ class EtcCompressor(Compressor):
                 or fmt != Format.RGB):
             return False
         strategy = self._strategy
+        quality = self._quality
         return h4.compress(
-            lambda blocks, outside: _encode(blocks, strategy),
+            lambda blocks, outside: _encode(blocks, strategy, quality),
             self.name, _BLOCK_SIZE, fmt, height, width,
             padding_bytes_per_row, buffer, image,
             encode_image_fn=self._encode_image_fn(),
@@ -164,8 +180,9 @@ class EtcCompressor(Compressor):
         if not self.is_valid_compressed_image(image) or downsampled_image is None:
             return False
         strategy = self._strategy
+        quality = self._quality
         return h4.downsample(
-            lambda blocks, outside: _encode(blocks, strategy),
+            lambda blocks, outside: _encode(blocks, strategy, quality),
             lambda data: _decode(data),
             image, downsampled_image, _BLOCK_SIZE,
             encode_image_fn=self._encode_image_fn(),
@@ -189,8 +206,9 @@ class EtcCompressor(Compressor):
                 or fmt != Format.RGB):
             return False
         strategy = self._strategy
+        quality = self._quality
         return h4.compress(
-            lambda blocks, outside: _encode(blocks, strategy),
+            lambda blocks, outside: _encode(blocks, strategy, quality),
             self.name, _BLOCK_SIZE, fmt, height, width,
             padding_bytes_per_row, buffer, padded_image,
             padded_height=padded_height, padded_width=padded_width,

@@ -145,10 +145,16 @@ def _subblock_mask(flip: bool):
     return (_PY < 2) if flip else (_PX < 2)
 
 
-def _encode_one_flip(rgb: jax.Array, flip: bool, strategy: int):
+def _encode_one_flip(rgb: jax.Array, flip: bool, strategy: int,
+                     rounding: str = "trunc"):
     """FindBestSubblockEncoding for a fixed flip (etc_compressor.cc:460-542).
 
     Returns (hi, lo, error): (N,) uint32 words + (N,) int32 cumulative error.
+
+    ``rounding``: "trunc" reproduces the reference's shift quantization
+    (QuantizeRgbFast, etc_compressor.cc:474-516); "round" uses Blinn
+    round-exact quantization instead — a high-quality-mode candidate, NOT
+    reference behavior.
     """
     n = rgb.shape[0]
     mask0 = jnp.asarray(_subblock_mask(flip))  # (16,)
@@ -162,15 +168,20 @@ def _encode_one_flip(rgb: jax.Array, flip: bool, strategy: int):
         avg1.append(jnp.sum(c * mask0f, axis=1) // 8)
         avg2.append(jnp.sum(c * (1 - mask0f), axis=1) // 8)
 
-    q1_555 = [a >> 3 for a in avg1]
-    q2_555 = [a >> 3 for a in avg2]
+    if rounding == "round":
+        q1_555 = [cc.quantize8(a, 5) for a in avg1]
+        q2_555 = [cc.quantize8(a, 5) for a in avg2]
+        q1_444 = [cc.quantize8(a, 4) for a in avg1]
+        q2_444 = [cc.quantize8(a, 4) for a in avg2]
+    else:
+        q1_555 = [a >> 3 for a in avg1]
+        q2_555 = [a >> 3 for a in avg2]
+        q1_444 = [a >> 4 for a in avg1]
+        q2_444 = [a >> 4 for a in avg2]
     d555 = [b - a for a, b in zip(q1_555, q2_555)]
     use_diff = jnp.ones(n, dtype=bool)
     for d in d555:
         use_diff &= (d >= -4) & (d <= 3)
-
-    q1_444 = [a >> 4 for a in avg1]
-    q2_444 = [a >> 4 for a in avg2]
 
     # Decoded palette base colors for the search (:496-516).
     dec1 = [
@@ -324,6 +335,32 @@ def encode_etc1_blocks(rgb: jax.Array, strategy: int = SMALLER_ERROR) -> jax.Arr
         take_lr = err_f <= err_t
         hi = jnp.where(take_lr, hi_f, hi_t)
         lo = jnp.where(take_lr, lo_f, lo_t)
+    return words_to_bytes(hi, lo)
+
+
+@jax.jit
+def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
+    """High-quality ETC1 encode (EXTENSION — beats the reference encoder).
+
+    The reference quantizes subblock averages by truncation
+    (QuantizeRgbFast shifts, etc_compressor.cc:474-516), biasing base
+    colors low by up to 7 (555) / 15 (444) code points. HQ evaluates both
+    truncated and round-exact quantization for both flips — the exhaustive
+    codeword search already returns true squared-RGB error, so picking the
+    minimum is exact, and including the reference candidates makes the
+    result provably never worse per block. Payloads remain standard ETC1.
+    """
+    candidates = []
+    for flip in (False, True):
+        for rounding in ("trunc", "round"):
+            candidates.append(
+                _encode_one_flip(rgb, flip, SMALLER_ERROR, rounding))
+    hi, lo, err = candidates[0]
+    for h2, l2, e2 in candidates[1:]:
+        better = e2 < err
+        hi = jnp.where(better, h2, hi)
+        lo = jnp.where(better, l2, lo)
+        err = jnp.where(better, e2, err)
     return words_to_bytes(hi, lo)
 
 
