@@ -77,15 +77,42 @@ def test_hq_payloads_are_standard_dxt(rng):
     assert DxtcCompressor().is_valid_compressed_image(ci)
     buf = bytearray()
     assert DxtcCompressor().decompress(ci, buf)
-    # alpha identical to reference scheme
+    # HQ alpha decodes at least as well as the reference scheme
     ref = CompressedImage()
     assert DxtcCompressor().compress(Format.RGBA, h, w, 0, img.tobytes(), ref)
-    np.testing.assert_array_equal(
-        ci.get_data().reshape(-1, 16)[:, :8],
-        ref.get_data().reshape(-1, 16)[:, :8],
-    )
+    rbuf = bytearray()
+    assert DxtcCompressor().decompress(ref, rbuf)
+    hq_dec = np.frombuffer(bytes(buf), np.uint8).reshape(h, w, 4)
+    ref_dec = np.frombuffer(bytes(rbuf), np.uint8).reshape(h, w, 4)
+    hq_aerr = np.sum((hq_dec[..., 3].astype(int) - img[..., 3]) ** 2)
+    ref_aerr = np.sum((ref_dec[..., 3].astype(int) - img[..., 3]) ** 2)
+    assert hq_aerr <= ref_aerr
 
 
 def test_quality_arg_validation():
     with pytest.raises(ValueError):
         DxtcCompressor(quality="ultra")
+
+
+def test_hq_alpha_never_worse(rng):
+    """HQ DXT5 alpha endpoints never lose to the reference scheme."""
+    import jax.numpy as jnp
+
+    rgba = rng.integers(0, 256, (400, 16, 4)).astype(np.int32)
+    rgba[50:100, :, 3] = (np.arange(16)[None, :] * 15
+                          + rng.integers(0, 40, (50, 1))).clip(0, 255)
+    rgba[100:110, :, 3] = 0
+    rgba[110:120, :, 3] = 255
+    outside = np.zeros(400, bool)
+
+    ref = np.asarray(dxt_ref.encode_dxt5_blocks(jnp.asarray(rgba),
+                                                jnp.asarray(outside)))
+    hq = np.asarray(dxt_hq.encode_dxt5_hq_blocks(jnp.asarray(rgba),
+                                                 jnp.asarray(outside)))
+    dref = np.asarray(dxt_ref.decode_dxt5_blocks(jnp.asarray(ref)))[:, :, 3]
+    dhq = np.asarray(dxt_ref.decode_dxt5_blocks(jnp.asarray(hq)))[:, :, 3]
+    a = rgba[:, :, 3]
+    eref = np.sum((dref - a) ** 2, axis=1)
+    ehq = np.sum((dhq - a) ** 2, axis=1)
+    assert np.all(ehq <= eref)
+    assert np.sum(ehq < eref) > 100

@@ -180,12 +180,101 @@ def encode_dxt1_hq_blocks(rgb: jax.Array) -> jax.Array:
     return jnp.where(pick_hq[:, None], hq, ref)
 
 
+# Alpha ramp interpolation weights of entry k as (w0, w1) per scheme.
+# Interp scheme (a0 > a1): ramp[k] = ((7-k+1)*a0 + (k-1)*a1)/7 for k>=2.
+_ALPHA_W0_INTERP = jnp.asarray([1, 0, 6 / 7, 5 / 7, 4 / 7, 3 / 7, 2 / 7, 1 / 7],
+                               dtype=jnp.float32)
+# Explicit scheme (a0 <= a1): entries 6, 7 are the constants 0 and 255.
+_ALPHA_W0_EXPL = jnp.asarray([1, 0, 4 / 5, 3 / 5, 2 / 5, 1 / 5, 0, 0],
+                             dtype=jnp.float32)
+_ALPHA_FREE_EXPL = jnp.asarray([1, 1, 1, 1, 1, 1, 0, 0], dtype=jnp.float32)
+
+
+def _alpha_decode_ramp(a0, a1):
+    """Exact decode ramp (DecodeAlphaValues, dxtc_compressor.cc:195-217):
+    a0 > a1 -> 6-interpolant scheme, else explicit 0/255. (N, 8) int32."""
+    comb = lambda s0, s1: dxt_ref.cc.combine_int_fast(s0, s1, a0, a1)
+    interp = jnp.stack([a0, a1, comb(6, 1), comb(5, 2), comb(4, 3),
+                        comb(3, 4), comb(2, 5), comb(1, 6)], axis=-1)
+    expl = jnp.stack([a0, a1, comb(4, 1), comb(3, 2), comb(2, 3),
+                      comb(1, 4), jnp.zeros_like(a0),
+                      jnp.full_like(a0, 255)], axis=-1)
+    return jnp.where((a0 > a1)[:, None], interp, expl)
+
+
+def _alpha_assign(a, a0, a1):
+    """Nearest decode-ramp code per pixel + exact block error."""
+    ramp = _alpha_decode_ramp(a0, a1)  # (N, 8)
+    d = a[:, :, None] - ramp[:, None, :]
+    codes = jnp.argmin(d * d, axis=-1)
+    err = jnp.sum(jnp.min(d * d, axis=-1), axis=-1)
+    return codes, err
+
+
+def _alpha_ls(a, codes, interp: bool):
+    """Least-squares alpha endpoints for fixed codes under one scheme."""
+    af = a.astype(jnp.float32)
+    w0 = (_ALPHA_W0_INTERP if interp else _ALPHA_W0_EXPL)[codes]  # (N, 16)
+    free = (jnp.ones_like(w0) if interp else _ALPHA_FREE_EXPL[codes])
+    w1 = (1.0 - w0) * free
+    w0 = w0 * free
+    a00 = jnp.sum(w0 * w0, axis=1)
+    a01 = jnp.sum(w0 * w1, axis=1)
+    a11 = jnp.sum(w1 * w1, axis=1)
+    b0 = jnp.sum(w0 * af, axis=1)
+    b1 = jnp.sum(w1 * af, axis=1)
+    det = a00 * a11 - a01 * a01
+    safe = jnp.abs(det) > 1e-6
+    det = jnp.where(safe, det, 1.0)
+    x0 = (a11 * b0 - a01 * b1) / det
+    x1 = (a00 * b1 - a01 * b0) / det
+    mean = jnp.sum(af * free, axis=1) / jnp.maximum(jnp.sum(free, axis=1), 1.0)
+    x0 = jnp.where(safe, x0, mean)
+    x1 = jnp.where(safe, x1, mean)
+    r = lambda v: jnp.clip(jnp.round(v), 0, 255).astype(jnp.int32)
+    return r(x0), r(x1)
+
+
+def _hq_alpha(a, ref_a0, ref_a1, ref_codes_err):
+    """HQ alpha endpoints: LS-refined candidates in both schemes, best-of
+    with the reference encoding. a: (N, 16). Returns (a0, a1, codes)."""
+    best_a0, best_a1 = ref_a0, ref_a1
+    best_codes, best_err = ref_codes_err
+
+    for interp in (True, False):
+        # Scheme-respecting init from the data extremes.
+        hi = jnp.max(a, axis=1)
+        lo = jnp.min(a, axis=1)
+        a0, a1 = (hi, lo) if interp else (lo, hi)
+        codes, _ = _alpha_assign(a, a0, a1)
+        for _ in range(2):
+            a0, a1 = _alpha_ls(a, codes, interp)
+            # Enforce the scheme's ordering constraint after rounding; codes
+            # are reassigned from scratch right after, so no remap is needed.
+            if interp:
+                a0, a1 = jnp.maximum(a0, a1), jnp.minimum(a0, a1)
+            else:
+                a0, a1 = jnp.minimum(a0, a1), jnp.maximum(a0, a1)
+            codes, err = _alpha_assign(a, a0, a1)
+        # Candidate valid only if it lands in the intended scheme.
+        valid = (a0 > a1) if interp else (a0 <= a1)
+        err = jnp.where(valid, err, jnp.inf)
+        better = err < best_err
+        best_a0 = jnp.where(better, a0, best_a0)
+        best_a1 = jnp.where(better, a1, best_a1)
+        best_codes = jnp.where(better[:, None], codes, best_codes)
+        best_err = jnp.minimum(err, best_err)
+    return best_a0, best_a1, best_codes
+
+
 @jax.jit
 def encode_dxt5_hq_blocks(rgb: jax.Array, full_outside: jax.Array) -> jax.Array:
-    """(N, 16, 4) int32 -> (N, 16) uint8: HQ color endpoints (per-block
-    best-of vs reference, always-4-color decode rule) + reference alpha
-    scheme (already a dense 8-level fit)."""
+    """(N, 16, 4) int32 -> (N, 16) uint8: HQ color endpoints AND HQ alpha
+    endpoints, each per-block best-of vs the reference encoder (never
+    worse); payloads remain standard DXT5."""
     ref_full = dxt_ref.encode_dxt5_blocks(rgb, full_outside).astype(jnp.int32)
+
+    # --- color half (always-4-color decode rule) ---
     rgb3 = rgb[:, :, :3]
     c0, c1, rows = _hq_color_words(rgb3)
     hq = dxt_ref._dxt1_bytes(c0, c1, rows)
@@ -193,5 +282,19 @@ def encode_dxt5_hq_blocks(rgb: jax.Array, full_outside: jax.Array) -> jax.Array:
     pick_hq = (_true_block_error(hq, rgb3, True)
                <= _true_block_error(ref_color, rgb3, True))
     color = jnp.where(pick_hq[:, None], hq, ref_color).astype(jnp.int32)
-    out = jnp.concatenate([ref_full[:, :8], color], axis=-1)
+
+    # --- alpha half ---
+    a = rgb[:, :, 3]
+    ref_a0 = ref_full[:, 0]
+    ref_a1 = ref_full[:, 1]
+    ref_codes = dxt_ref._unpack_alpha_codes(ref_full[:, 2:8])
+    ramp = _alpha_decode_ramp(ref_a0, ref_a1)
+    ref_vals = jnp.take_along_axis(ramp, ref_codes, axis=1)
+    ref_err = jnp.sum((ref_vals - a).astype(jnp.float32) ** 2, axis=-1)
+    a0, a1, codes = _hq_alpha(a, ref_a0, ref_a1, (ref_codes, ref_err))
+    alpha_bytes = dxt_ref._pack_alpha_codes(codes)
+
+    out = jnp.concatenate(
+        [a0[:, None], a1[:, None], alpha_bytes, color], axis=-1
+    )
     return out.astype(jnp.uint8)
