@@ -175,3 +175,39 @@ def test_roundtrip_quality(rng):
     mse = np.mean((dec.astype(float) - img.astype(float)) ** 2)
     psnr = 10 * np.log10(255**2 / mse)
     assert psnr > 25, psnr
+
+
+def test_decompress_with_row_padding_layout(rng):
+    """Decompress honors padding_bytes_per_row in the output: rows at the
+    padded stride, zero-filled gaps, no trailing pad after the last row.
+    (The reference's padded-output path overflows its own buffer —
+    compressor4x4_helper.h:225-226 vs :238-239 — so this is our
+    well-defined replacement; padding=0 output is byte-identical.)"""
+    h, w, pad = 12, 8, 5
+    img = make_test_image(rng, h, w, 3)
+    buf_in = np.zeros(h * (w * 3 + pad), dtype=np.uint8)
+    buf_in.reshape(h, w * 3 + pad)[:, : w * 3] = img.reshape(h, -1)
+
+    c = DxtcCompressor()
+    ci = CompressedImage()
+    assert c.compress(Format.RGB, h, w, pad, buf_in.tobytes(), ci)
+    assert ci.get_metadata().padding_bytes_per_row == pad
+
+    out = bytearray()
+    assert c.decompress(ci, out)
+    bpr = w * 3 + pad
+    assert len(out) == (h - 1) * bpr + w * 3
+
+    # Compare with the unpadded decode of the same payload.
+    ci0 = CompressedImage()
+    assert c.compress(Format.RGB, h, w, 0, img.tobytes(), ci0)
+    out0 = bytearray()
+    assert c.decompress(ci0, out0)
+    rows0 = np.frombuffer(bytes(out0), np.uint8).reshape(h, w * 3)
+    arr = np.frombuffer(bytes(out), np.uint8)
+    for r in range(h):
+        np.testing.assert_array_equal(
+            arr[r * bpr : r * bpr + w * 3], rows0[r], err_msg=f"row {r}"
+        )
+        if r < h - 1:
+            assert not arr[r * bpr + w * 3 : (r + 1) * bpr].any()
