@@ -109,7 +109,8 @@ class CompressedImage:
     def get_data(self) -> np.ndarray:
         """Read-only uint8 view of the payload."""
         v = self._data.view()
-        v.flags.writeable = False if self._data.flags.writeable else v.flags.writeable
+        if v.flags.writeable:
+            v.flags.writeable = False
         return v
 
     def get_mutable_data(self) -> np.ndarray:
