@@ -7,7 +7,6 @@ formats use DXT1 (8-byte blocks), 4-component formats DXT5 (16-byte blocks).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -249,7 +248,14 @@ class DxtcCompressor(Compressor):
         fmt = image.get_metadata().format
         # Downsample re-encodes with swap_red_and_blue=false
         # (compressor4x4_helper.h:602-607: decode/encode called with false).
-        if self._is_dxt1(fmt):
+        # In high-quality mode the re-encode uses the HQ encoder (swap-free
+        # formats only, which is all this path ever sees).
+        if self._use_hq(fmt) or self._quality == "high":
+            enc, _ = self._codec_fns(Format.RGB if self._is_dxt1(fmt)
+                                     else Format.RGBA)
+            dec = (lambda data: _decode_dxt1(data, False)) if self._is_dxt1(
+                fmt) else (lambda data: _decode_dxt5(data, False))
+        elif self._is_dxt1(fmt):
             enc = lambda blocks, outside: _encode_dxt1(blocks, outside, False)
             dec = lambda data: _decode_dxt1(data, False)
         else:
