@@ -57,5 +57,11 @@ def throughput(op, arg, *, pixels: int, iters: int = 9, reps: int = 3) -> float:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    dt = max((run(1 + iters) - run(1)) / iters, 1e-9)
+    t_short = run(1)
+    t_long = run(1 + iters)
+    dt = (t_long - t_short) / iters
+    # Noise guard: a slow short-run would otherwise yield an absurd rate;
+    # fall back to the conservative long-run per-iteration time.
+    if dt <= t_long / (1 + iters) * 0.02:
+        dt = t_long / (1 + iters)
     return pixels / dt / 1e6
