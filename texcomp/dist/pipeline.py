@@ -122,8 +122,11 @@ class AssetPipeline:
 
             def fn(images):
                 local = partial(_batch_encode, codec=codec, strategy=strategy)
+                # check_vma=False: pallas_call outputs carry no varying-mesh
+                # -axes metadata, which trips the default check on TPU.
                 return jax.shard_map(
                     local, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+                    check_vma=False,
                 )(images)
 
             self._jitted[key] = jax.jit(fn)
@@ -210,7 +213,7 @@ def quality_report(pipeline: AssetPipeline, images: np.ndarray,
             return se / jnp.maximum(cnt, 1.0)
 
         mse = jax.shard_map(local, mesh=mesh, in_specs=(P("data"), P("data")),
-                            out_specs=P())(imgs, weights)
+                            out_specs=P(), check_vma=False)(imgs, weights)
         return 10.0 * jnp.log10(255.0**2 / jnp.maximum(mse, 1e-9))
 
     b = images.shape[0]
