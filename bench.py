@@ -1,12 +1,14 @@
 """Benchmark harness. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extras": {...}}
 
 Headline: DXT1 encode throughput in Mpixels/sec/chip (device-resident
 image -> packed blocks, including block extraction). Baseline bar is
-1 Gpixel/sec/chip on TPU v5e (BASELINE.json north_star).
+1 Gpixel/sec/chip on TPU v5e (BASELINE.json north_star). "extras" carries
+the per-codec suite covering BASELINE configs 2-5 (Mpixels/s/chip each),
+so every perf bar is recorded in the single driver-visible line.
 
-Run `python bench.py --all` for the full per-codec suite (extra JSON lines
-after the headline one).
+`--headline-only` skips the extras; `--all` additionally prints one JSON
+line per extra metric to stderr.
 """
 
 from __future__ import annotations
@@ -14,55 +16,14 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from texcomp.utils.profiling import time_op as _time_op
+
 BASELINE_MPIX_S = 1000.0  # 1 Gpixel/sec/chip
-
-
-def _time_op(op, arg, iters: int = 9, reps: int = 4) -> float:
-    """Honest per-call seconds for ``op(arg) -> array``.
-
-    Remote-tunneled platforms (and async dispatch generally) can make
-    block_until_ready return before the device finishes, so instead we run
-    K data-dependent iterations of the op inside one jitted lax.scan,
-    fetch a 4-byte checksum to host (forcing completion), and difference
-    two K values to cancel fixed dispatch/tunnel overhead. Tunnel latency
-    is noisy; if the difference is implausibly small (short run slower
-    than the long run), fall back to the conservative per-iteration time
-    of the long run, which includes the fixed overhead and therefore only
-    understates throughput.
-    """
-
-    @partial(jax.jit, static_argnames=("n",))
-    def loop(x, n):
-        def body(carry, _):
-            out = op(x ^ (carry & jnp.uint32(0xFF)).astype(jnp.uint8))
-            return out.astype(jnp.uint32).sum(), None
-
-        final, _ = jax.lax.scan(body, jnp.uint32(0), None, length=n)
-        return final
-
-    def run(n):
-        np.asarray(loop(arg, n))  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(loop(arg, n))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t_short = run(1)
-    t_long = run(1 + iters)
-    dt = (t_long - t_short) / iters
-    floor = t_long / (1 + iters) * 0.02  # differencing noise guard
-    if dt <= floor:
-        return t_long / (1 + iters)
-    return dt
 
 
 def _rand_image(h, w, c):
@@ -149,42 +110,53 @@ def bench_pipeline(n_textures: int = 256, size: int = 256) -> float:
     return total_pix / (dt3 + dt4) / 1e6
 
 
+_EXTRA_BENCHES = {
+    "dxt5_encode": bench_dxt5_encode,       # BASELINE config 2
+    "etc1_encode": bench_etc1_encode,       # BASELINE config 3
+    "pvrtc_encode": bench_pvrtc_encode,     # BASELINE config 4
+    "pipeline_mixed": bench_pipeline,       # BASELINE config 5 (1-chip slice)
+    "dxt1_decode": bench_dxt1_decode,
+    "etc1_decode": bench_etc1_decode,
+}
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--all", action="store_true",
-                        help="run the full per-codec suite")
+                        help="also print one JSON line per extra to stderr")
+    parser.add_argument("--headline-only", action="store_true",
+                        help="skip the per-codec extras")
     parser.add_argument("--size", type=int, default=4096)
     args = parser.parse_args()
 
     mpix = bench_dxt1_encode(args.size, args.size)
-    print(json.dumps({
+    line = {
         "metric": "dxt1_encode_throughput",
         "value": round(mpix, 1),
         "unit": "Mpixels/s/chip",
         "vs_baseline": round(mpix / BASELINE_MPIX_S, 3),
-    }))
+    }
 
-    if args.all:
-        extras = {
-            "dxt5_encode_throughput": bench_dxt5_encode,
-            "dxt1_decode_throughput": bench_dxt1_decode,
-            "etc1_encode_throughput": bench_etc1_encode,
-            "etc1_decode_throughput": bench_etc1_decode,
-            "pvrtc_encode_throughput": bench_pvrtc_encode,
-            "pipeline_mixed_throughput": bench_pipeline,
-        }
-        for name, fn in extras.items():
+    if not args.headline_only:
+        extras = {}
+        for name, fn in _EXTRA_BENCHES.items():
             try:
-                v = fn()
-            except Exception as e:  # codec not yet implemented
+                extras[name] = round(fn(), 1)
+            except Exception as e:
+                extras[name] = None
                 print(json.dumps({"metric": name, "error": str(e)[:200]}),
                       file=sys.stderr)
                 continue
-            print(json.dumps({
-                "metric": name, "value": round(v, 1),
-                "unit": "Mpixels/s/chip",
-                "vs_baseline": round(v / BASELINE_MPIX_S, 3),
-            }), file=sys.stderr)
+            if args.all:
+                print(json.dumps({
+                    "metric": name + "_throughput",
+                    "value": extras[name],
+                    "unit": "Mpixels/s/chip",
+                    "vs_baseline": round(extras[name] / BASELINE_MPIX_S, 3),
+                }), file=sys.stderr)
+        line["extras"] = extras
+
+    print(json.dumps(line))
     return 0
 
 

@@ -10,8 +10,10 @@ pad+reshape, and codecs map over the block axis.
 from texcomp.blocks.grid import (
     extract_blocks,
     full_outside_mask,
+    image_to_blocks,
     num_blocks,
     scatter_blocks,
 )
 
-__all__ = ["extract_blocks", "full_outside_mask", "num_blocks", "scatter_blocks"]
+__all__ = ["extract_blocks", "full_outside_mask", "image_to_blocks",
+           "num_blocks", "scatter_blocks"]

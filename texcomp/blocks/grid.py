@@ -59,6 +59,15 @@ def extract_blocks(
     return blocks.reshape(-1, 16, c)
 
 
+def image_to_blocks(image: jax.Array) -> jax.Array:
+    """(H, W, C) uint8 -> (N, 16, C) int32 for ALIGNED images (H and W
+    multiples of 4): the zero-padding fast path used by batched/sharded
+    pipelines. Ragged sizes go through :func:`extract_blocks`."""
+    h, w, c = image.shape
+    blk = image.astype(jnp.int32).reshape(h // 4, 4, w // 4, 4, c)
+    return blk.transpose(0, 2, 1, 3, 4).reshape(-1, 16, c)
+
+
 def full_outside_mask(
     height: int, width: int, grid_height: int, grid_width: int
 ) -> np.ndarray:

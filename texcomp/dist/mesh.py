@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from texcomp.blocks import image_to_blocks as _image_to_blocks
 from texcomp.codecs import dxt
 
 
@@ -39,15 +40,6 @@ def make_mesh(n_devices: int | None = None, data: int | None = None,
             f"{len(devices)} are available")
     dev = np.array(devices[: data * block]).reshape(data, block)
     return Mesh(dev, axis_names=("data", "block"))
-
-
-def _image_to_blocks(image: jax.Array) -> jax.Array:
-    """(H, W, 3) uint8 -> (N, 16, 3) int32; H, W multiples of 4 (aligned
-    batches; ragged sizes are handled by the per-image API path)."""
-    h, w, c = image.shape
-    img = image.astype(jnp.int32)
-    blk = img.reshape(h // 4, 4, w // 4, 4, c).transpose(0, 2, 1, 3, 4)
-    return blk.reshape(-1, 16, c)
 
 
 def dxt1_encode_batch(images: jax.Array) -> jax.Array:

@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from texcomp.api.container import CompressedImage, Format, Metadata
-from texcomp.blocks import num_blocks
+from texcomp.blocks import image_to_blocks, num_blocks
 
 _BLOCK_BYTES = {"dxt1": 8, "dxt5": 16, "etc1": 8, "pvrtc": 8, "pvrtc4": 8}
 _FORMATS = {"dxt1": Format.RGB, "dxt5": Format.RGBA, "etc1": Format.RGB,
@@ -88,12 +88,7 @@ def _batch_encode(images: jax.Array, codec: str, strategy: int) -> jax.Array:
     # CPU fallback: jnp reference kernels.
     from texcomp.codecs import dxt, etc
 
-    def to_blocks(img):
-        c = img.shape[-1]
-        x = img.astype(jnp.int32).reshape(h // 4, 4, w // 4, 4, c)
-        return x.transpose(0, 2, 1, 3, 4).reshape(-1, 16, c)
-
-    blocks = jax.vmap(to_blocks)(images)
+    blocks = jax.vmap(image_to_blocks)(images)
     if codec == "dxt1":
         return jax.vmap(lambda blk: dxt.encode_dxt1_blocks(blk))(blocks)
     if codec == "dxt5":
@@ -189,7 +184,6 @@ def quality_report(pipeline: AssetPipeline, images: np.ndarray,
 
     def step(imgs, weights):
         def local(x, wts):
-            b, h, w, c = x.shape
             enc = _batch_encode(x, codec, 2)
             if codec == "dxt1":
                 dec = jax.vmap(lambda d: dxt.decode_dxt1_blocks(d))(enc)
@@ -197,12 +191,7 @@ def quality_report(pipeline: AssetPipeline, images: np.ndarray,
                 dec = jax.vmap(lambda d: dxt.decode_dxt5_blocks(d))(enc)
             else:
                 dec = jax.vmap(lambda d: etc.decode_etc1_blocks(d))(enc)
-            blocks = jax.vmap(
-                lambda im: im.astype(jnp.int32)
-                .reshape(h // 4, 4, w // 4, 4, c)
-                .transpose(0, 2, 1, 3, 4)
-                .reshape(-1, 16, c)
-            )(x)
+            blocks = jax.vmap(image_to_blocks)(x)
             err = (dec - blocks).astype(jnp.float32)
             # Per-image sums weighted so batch-padding duplicates don't
             # bias the mean, then one global psum (the only collective).

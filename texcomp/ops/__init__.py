@@ -12,17 +12,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from texcomp.blocks import image_to_blocks as _image_to_blocks
+
 
 def use_pallas() -> bool:
     """Pallas TPU kernels on any non-CPU backend."""
     return jax.default_backend() != "cpu"
-
-
-def _image_to_blocks(image, components: int):
-    h, w = image.shape[0], image.shape[1]
-    img = image.astype(jnp.int32)
-    blk = img.reshape(h // 4, 4, w // 4, 4, components)
-    return blk.transpose(0, 2, 1, 3, 4).reshape(-1, 16, components)
 
 
 def dxt1_encode_image_op(image):
@@ -33,7 +28,7 @@ def dxt1_encode_image_op(image):
         return dxt_pallas.dxt1_encode_image(image)
     from texcomp.codecs import dxt
 
-    return dxt.encode_dxt1_blocks(_image_to_blocks(image, 3))
+    return dxt.encode_dxt1_blocks(_image_to_blocks(image))
 
 
 def dxt5_encode_image_op(image):
@@ -44,7 +39,7 @@ def dxt5_encode_image_op(image):
         return dxt_pallas.dxt5_encode_image(image)
     from texcomp.codecs import dxt
 
-    blocks = _image_to_blocks(image, 4)
+    blocks = _image_to_blocks(image)
     outside = jnp.zeros((blocks.shape[0],), dtype=bool)
     return dxt.encode_dxt5_blocks(blocks, outside)
 
@@ -57,7 +52,7 @@ def etc1_encode_image_op(image, strategy: int = 2):
         return etc_pallas.etc1_encode_image(image, strategy)
     from texcomp.codecs import etc
 
-    return etc.encode_etc1_blocks(_image_to_blocks(image, 3), strategy)
+    return etc.encode_etc1_blocks(_image_to_blocks(image), strategy)
 
 
 def dxt1_decode_image_op(data, height: int, width: int):

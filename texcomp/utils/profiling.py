@@ -33,11 +33,18 @@ def device_trace(logdir: str = "/tmp/texcomp_trace"):
         jax.profiler.stop_trace()
 
 
-def throughput(op, arg, *, pixels: int, iters: int = 9, reps: int = 3) -> float:
-    """Mpixels/sec of ``op(arg) -> array``, robust to async/tunneled
-    dispatch: K data-dependent iterations inside one jitted lax.scan, a
-    4-byte checksum forced to host, two K values differenced to cancel
-    fixed overhead."""
+def time_op(op, arg, *, iters: int = 9, reps: int = 4) -> float:
+    """Honest per-call seconds for ``op(arg) -> array``.
+
+    Remote-tunneled platforms (and async dispatch generally) can make
+    ``block_until_ready`` return before the device finishes, so instead we
+    run K data-dependent iterations of the op inside one jitted lax.scan,
+    fetch a 4-byte checksum to host (forcing completion), and difference
+    two K values to cancel fixed dispatch/tunnel overhead. Tunnel latency
+    is noisy; if the difference is implausibly small (short run slower
+    than the long run), fall back to the conservative per-iteration time
+    of the long run, which includes the fixed overhead and therefore only
+    understates throughput."""
 
     @partial(jax.jit, static_argnames=("n",))
     def loop(x, n):
@@ -49,7 +56,7 @@ def throughput(op, arg, *, pixels: int, iters: int = 9, reps: int = 3) -> float:
         return final
 
     def run(n):
-        np.asarray(loop(arg, n))
+        np.asarray(loop(arg, n))  # compile + warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -64,4 +71,9 @@ def throughput(op, arg, *, pixels: int, iters: int = 9, reps: int = 3) -> float:
     # fall back to the conservative long-run per-iteration time.
     if dt <= t_long / (1 + iters) * 0.02:
         dt = t_long / (1 + iters)
-    return pixels / dt / 1e6
+    return dt
+
+
+def throughput(op, arg, *, pixels: int, iters: int = 9, reps: int = 3) -> float:
+    """Mpixels/sec of ``op(arg) -> array`` (see :func:`time_op`)."""
+    return pixels / time_op(op, arg, iters=iters, reps=reps) / 1e6
