@@ -28,6 +28,58 @@ def test_cli_roundtrip(rng, tmp_path, capsys):
                  "--output", str(tmp_path / "dec2.npy")]) == 0
 
 
+def test_cli_transcode_rejects_dxt5_and_missing_name(rng, tmp_path, capsys):
+    """A DXT5 entry also carries compressor_name 'dxtc'; transcoding it
+    would reinterpret 16-byte blocks as DXT1 and destroy the texture."""
+    img = make_test_image(rng, 16, 16, 4)
+    np.save(tmp_path / "img.npy", img)
+    archive = str(tmp_path / "a.txc")
+    assert main(["encode", "--codec", "dxt5", "--input",
+                 str(tmp_path / "img.npy"), "--archive", archive]) == 0
+
+    assert main(["transcode-dxt1-etc1", "--archive", archive,
+                 "--name", "img"]) == 1
+    assert "DXT1" in capsys.readouterr().err
+    assert main(["transcode-dxt1-etc1", "--archive", archive,
+                 "--name", "nope"]) == 1
+    assert "not in archive" in capsys.readouterr().err
+    # the archive entry is untouched and still decodes
+    assert main(["decode", "--archive", archive, "--name", "img",
+                 "--output", str(tmp_path / "dec.npy")]) == 0
+
+
+def test_cli_decode_strips_row_padding(rng, tmp_path):
+    """Entries encoded with padding_bytes_per_row decode to clean (H, W, C)."""
+    from texcomp import CompressedImage, DxtcCompressor, Format
+    from texcomp.utils import save_archive
+
+    img = make_test_image(rng, 8, 12, 3)
+    pad = 5
+    padded = np.concatenate(
+        [img.reshape(8, -1),
+         np.zeros((8, pad), np.uint8)], axis=1)
+    ci = CompressedImage()
+    assert DxtcCompressor().compress(
+        Format.RGB, 8, 12, pad, padded.tobytes(), ci)
+    assert ci.get_metadata().padding_bytes_per_row == pad
+    save_archive(str(tmp_path / "p.txc"), {"img": ci})
+
+    assert main(["decode", "--archive", str(tmp_path / "p.txc"),
+                 "--name", "img",
+                 "--output", str(tmp_path / "dec.npy")]) == 0
+    dec = np.load(tmp_path / "dec.npy")
+    assert dec.shape == (8, 12, 3)
+
+    # Same pixels encoded without padding decode to the same image.
+    ci0 = CompressedImage()
+    assert DxtcCompressor().compress(Format.RGB, 8, 12, 0, img.tobytes(), ci0)
+    save_archive(str(tmp_path / "p0.txc"), {"img": ci0})
+    assert main(["decode", "--archive", str(tmp_path / "p0.txc"),
+                 "--name", "img",
+                 "--output", str(tmp_path / "dec0.npy")]) == 0
+    np.testing.assert_array_equal(dec, np.load(tmp_path / "dec0.npy"))
+
+
 def test_cli_rejects_bad_input(rng, tmp_path):
     img = make_test_image(rng, 16, 16, 4)
     np.save(tmp_path / "img4.npy", img)

@@ -67,6 +67,34 @@ def test_hq_api_beats_reference_psnr(fmt, rng):
     assert p_hq > p_ref + 1.0, (p_ref, p_hq)
 
 
+@pytest.mark.parametrize(
+    "fmt", [Format.RGB, Format.BGR, Format.RGBA, Format.BGRA])
+def test_hq_never_worse_all_formats(fmt, rng):
+    """Per-block HQ error <= reference error for ALL four formats,
+    including the red/blue-swapped ones (dxtc_compressor.cc:288,295,333)."""
+    c = 3 if fmt in (Format.RGB, Format.BGR) else 4
+    h = w = 48
+    img = _natural_image(rng, h, w, c)
+
+    def roundtrip(quality):
+        comp = DxtcCompressor(quality=quality)
+        ci = CompressedImage()
+        assert comp.compress(fmt, h, w, 0, img.tobytes(), ci)
+        buf = bytearray()
+        assert comp.decompress(ci, buf)
+        return np.frombuffer(bytes(buf), np.uint8).reshape(h, w, c)
+
+    def block_errors(dec):
+        d = (dec.astype(int) - img.astype(int)) ** 2
+        return d.reshape(h // 4, 4, w // 4, 4, c).sum(axis=(1, 3, 4))
+
+    err_ref = block_errors(roundtrip("reference"))
+    err_hq = block_errors(roundtrip("high"))
+    assert np.all(err_hq <= err_ref), (
+        f"hq worse on {np.sum(err_hq > err_ref)} blocks for {fmt.name}")
+    assert np.sum(err_hq < err_ref) > 10  # strictly better somewhere
+
+
 def test_hq_payloads_are_standard_dxt(rng):
     """HQ output must decode under the ordinary decoder and validate."""
     h = w = 32

@@ -102,8 +102,14 @@ def cmd_decode(args) -> int:
     from texcomp.api.container import num_format_components
 
     c = num_format_components(md.format)
-    img = np.frombuffer(bytes(buf), np.uint8).reshape(
-        md.uncompressed_height, md.uncompressed_width, c)
+    h, w = md.uncompressed_height, md.uncompressed_width
+    # Decompress emits rows at the padded stride (with no padding after the
+    # final row); strip the per-row padding.
+    flat = np.frombuffer(bytes(buf), np.uint8)
+    stride = w * c + md.padding_bytes_per_row
+    img = np.lib.stride_tricks.as_strided(
+        flat, shape=(h, w * c), strides=(stride, 1)
+    ).reshape(h, w, c).copy()
     np.save(args.output, img)
     print(f"{args.name}: decoded {img.shape} -> {args.output}")
     return 0
@@ -121,10 +127,19 @@ def cmd_info(args) -> int:
 
 
 def cmd_transcode(args) -> int:
+    from texcomp.api.container import num_format_components
+
     textures = load_archive(args.archive)
+    if args.name not in textures:
+        print(f"error: {args.name!r} not in archive "
+              f"(has: {sorted(textures)})", file=sys.stderr)
+        return 1
     ci = textures[args.name]
-    if ci.get_metadata().compressor_name != "dxtc":
-        print("error: transcode source must be a dxtc (DXT1) texture",
+    md = ci.get_metadata()
+    # DXT5 textures also carry compressor_name "dxtc" but hold 16-byte
+    # RGBA blocks; transcoding those would corrupt the entry in place.
+    if md.compressor_name != "dxtc" or num_format_components(md.format) != 3:
+        print("error: transcode source must be a DXT1 (RGB dxtc) texture",
               file=sys.stderr)
         return 1
     transcode_dxt1_to_etc1(ci)

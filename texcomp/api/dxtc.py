@@ -94,7 +94,7 @@ class DxtcCompressor(Compressor):
       * "high" — EXTENSION: PCA + least-squares endpoint refinement with
         true decoded-RGB error, per-block best-of vs the reference encoder
         (never worse, typically +2-4 dB); payloads remain standard DXT.
-        RGB/RGBA only (no BGR swap on this path), encode ops only.
+        Covers all four formats (RGB/BGR/RGBA/BGRA), encode ops only.
     """
 
     name = "dxtc"
@@ -105,7 +105,7 @@ class DxtcCompressor(Compressor):
         self._quality = quality
 
     def _use_hq(self, fmt: Format) -> bool:
-        return self._quality == "high" and not needs_red_and_blue_swapped(fmt)
+        return self._quality == "high"
 
     def _is_dxt1(self, fmt: Format) -> bool:
         return num_format_components(fmt) == 3
@@ -123,16 +123,23 @@ class DxtcCompressor(Compressor):
                     n = blocks.shape[0]
                     blocks, _ = _pad_batch(jnp.asarray(blocks), outside,
                                            _bucket(n))
+                    if swap:
+                        blocks = blocks[:, :, ::-1]
                     return np.asarray(
-                        dxt_hq.encode_dxt1_hq_blocks(blocks))[:n]
+                        dxt_hq.encode_dxt1_hq_blocks(
+                            blocks, swap_red_and_blue=swap))[:n]
             else:
                 def enc(blocks, outside):
                     n = blocks.shape[0]
                     blocks, outside = _pad_batch(jnp.asarray(blocks),
                                                  outside, _bucket(n))
+                    if swap:
+                        blocks = jnp.concatenate(
+                            [blocks[:, :, 2::-1], blocks[:, :, 3:]], axis=-1)
                     return np.asarray(
                         dxt_hq.encode_dxt5_hq_blocks(
-                            blocks, jnp.asarray(outside)))[:n]
+                            blocks, jnp.asarray(outside),
+                            swap_red_and_blue=swap))[:n]
             dec = (lambda data: _decode_dxt1(data, swap)) if self._is_dxt1(
                 fmt) else (lambda data: _decode_dxt5(data, swap))
             return enc, dec
@@ -247,10 +254,10 @@ class DxtcCompressor(Compressor):
             return False
         fmt = image.get_metadata().format
         # Downsample re-encodes with swap_red_and_blue=false
-        # (compressor4x4_helper.h:602-607: decode/encode called with false).
-        # In high-quality mode the re-encode uses the HQ encoder (swap-free
-        # formats only, which is all this path ever sees).
-        if self._use_hq(fmt) or self._quality == "high":
+        # (compressor4x4_helper.h:602-607: decode/encode called with false),
+        # so the HQ re-encode path always runs swap-free regardless of the
+        # source format.
+        if self._quality == "high":
             enc, _ = self._codec_fns(Format.RGB if self._is_dxt1(fmt)
                                      else Format.RGBA)
             dec = (lambda data: _decode_dxt1(data, False)) if self._is_dxt1(

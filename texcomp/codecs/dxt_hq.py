@@ -164,17 +164,25 @@ def _true_block_error(data, rgb, always4: bool):
     return jnp.sum(d * d, axis=(1, 2))  # (N,)
 
 
-@jax.jit
-def encode_dxt1_hq_blocks(rgb: jax.Array) -> jax.Array:
+@partial(jax.jit, static_argnames=("swap_red_and_blue",))
+def encode_dxt1_hq_blocks(rgb: jax.Array,
+                          swap_red_and_blue: bool = False) -> jax.Array:
     """(N, 16, 3) int32 -> (N, 8) uint8 high-quality DXT1 blocks.
 
     Guaranteed per-block error <= the reference encoder's: both encodings
     are produced and the one with the smaller true decoded error wins (the
     reference's constant-color LUT path still wins on near-solid blocks,
-    where its sub-565 interpolated endpoints beat a 4-color fit)."""
+    where its sub-565 interpolated endpoints beat a 4-color fit).
+
+    For BGR sources pass the blocks pre-swapped to RGB order plus
+    ``swap_red_and_blue=True``: the HQ search itself is channel-permutation
+    invariant (squared-RGB error), but the reference candidate re-applies
+    the const-color double swap (dxtc_compressor.cc:360), which the flag
+    preserves — keeping the never-worse guarantee exact for BGR too."""
     c0, c1, rows = _hq_color_words(rgb)
     hq = dxt_ref._dxt1_bytes(c0, c1, rows)
-    ref = dxt_ref._dxt1_bytes(*dxt_ref._encode_dxt1_words(rgb, False))
+    ref = dxt_ref._dxt1_bytes(
+        *dxt_ref._encode_dxt1_words(rgb, False, swap_red_and_blue))
     pick_hq = (_true_block_error(hq, rgb, False)
                <= _true_block_error(ref, rgb, False))
     return jnp.where(pick_hq[:, None], hq, ref)
@@ -267,12 +275,16 @@ def _hq_alpha(a, ref_a0, ref_a1, ref_codes_err):
     return best_a0, best_a1, best_codes
 
 
-@jax.jit
-def encode_dxt5_hq_blocks(rgb: jax.Array, full_outside: jax.Array) -> jax.Array:
+@partial(jax.jit, static_argnames=("swap_red_and_blue",))
+def encode_dxt5_hq_blocks(rgb: jax.Array, full_outside: jax.Array,
+                          swap_red_and_blue: bool = False) -> jax.Array:
     """(N, 16, 4) int32 -> (N, 16) uint8: HQ color endpoints AND HQ alpha
     endpoints, each per-block best-of vs the reference encoder (never
-    worse); payloads remain standard DXT5."""
-    ref_full = dxt_ref.encode_dxt5_blocks(rgb, full_outside).astype(jnp.int32)
+    worse); payloads remain standard DXT5. For BGRA pass pre-swapped
+    blocks + ``swap_red_and_blue=True`` (see encode_dxt1_hq_blocks)."""
+    ref_full = dxt_ref.encode_dxt5_blocks(
+        rgb, full_outside, swap_red_and_blue=swap_red_and_blue
+    ).astype(jnp.int32)
 
     # --- color half (always-4-color decode rule) ---
     rgb3 = rgb[:, :, :3]
