@@ -3,11 +3,18 @@
 Same layout discipline as dxt_pallas: blocks as (16, N) packed-uint32
 tensors (pixels on sublanes in scan order y*4+x, blocks on lanes). The
 2 flips x 2 subblocks x 8 codewords x 4 modifiers search
-(etc_compressor.cc:350-409) runs as a fully unrolled chain of dense VPU ops:
-for each codeword, 4 candidate-error evaluations and a select chain give the
-per-pixel best modifier; masked sublane sums give per-subblock errors; an
-8-way first-occurrence select chain picks the codeword; the winning pixel
-indices are recomputed for the chosen codeword via an 8-way modifier select.
+(etc_compressor.cc:350-409) runs as a fully unrolled chain of dense VPU ops.
+
+Subblock pixels are made CONTIGUOUS before the search: the flip=True
+subblocks are the natural sublane halves (rows 0-7 / 8-15), and for
+flip=False a static row permutation (applied once in XLA, outside the
+kernel) groups the left/right column pixels the same way. Each subblock
+search then runs on dense (8, T) tensors — half the vector work of the
+masked (16, T) formulation — and subblock errors are plain sublane sums.
+The heuristic strategy (FindCodewordHeuristic, etc_compressor.cc:415-455)
+picks its codeword from the absolute deviation alone, so that path skips
+the 8x4 candidate-error tensor entirely (~8x less work; it dominates the
+DXT1->ETC1 transcoder).
 
 Bit-exact with texcomp.codecs.etc (which is bit-exact with the C++
 reference); tested in tests/test_pallas.py.
@@ -45,12 +52,17 @@ def _clamp8(v):
     return jnp.clip(v, 0, 255)
 
 
-def _sub_mask(flip: bool):
-    """(16, 1) int32: 1 for first-subblock pixels. Built from iota so the
-    kernel captures no array constants (Pallas requirement)."""
-    p = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
-    m = (p // 4 < 2) if flip else (p % 4 < 2)
-    return m.astype(jnp.int32)
+# Row permutation grouping the flip=False (vertical split) subblocks into
+# contiguous sublane halves: rows 0-7 = left columns (x < 2), rows 8-15 =
+# right columns. flip=True subblocks are already contiguous (y < 2 -> rows
+# 0-7). Applied once in XLA before the kernel (see encode_etc1_packed).
+_PERM_F = [0, 1, 4, 5, 8, 9, 12, 13, 2, 3, 6, 7, 10, 11, 14, 15]
+
+
+def _group_pos(flip: bool, p: int) -> tuple[int, int]:
+    """Pixel p's (subblock, row-within-group) in the grouped layout."""
+    pos = p if flip else _PERM_F.index(p)
+    return pos // 8, pos % 8
 
 
 def _codeword_select(cw, table_col):
@@ -61,66 +73,84 @@ def _codeword_select(cw, table_col):
     return out
 
 
-def _subblock_search(rgb, base, mask, heuristic: bool, avg):
-    """Per-subblock codeword + pixel-index search.
+def _subblock_search(pg, base, heuristic: bool):
+    """Per-subblock codeword + pixel-index search on a dense pixel group.
 
-    rgb: 3-tuple of (16, T) pixels; base: 3-tuple of (1, T) decoded subblock
-    color; mask: (16, 1) membership; avg is unused (the heuristic deviation
-    is measured from the decoded color, etc_compressor.cc:524-527).
-    Returns (cw (1,T), err (1,T), mod (16,T) valid at member pixels).
+    pg: 3-tuple of (8, T) member pixels; base: 3-tuple of (1, T) decoded
+    subblock color.
+    Returns (cw (1,T), err (1,T) f32 or None for heuristic, mod (8,T)).
+
+    The error arithmetic runs in float32: every quantity is an integer
+    (|d| <= 438, per-pixel error <= 3*438^2, subblock sums <= 4.6M, all
+    < 2^24), so fp32 is EXACT and the strictly-less tie-breaks are
+    bit-identical to the int32 reference — while int32 multiplies on the
+    TPU VPU cost several ops each and fp32 mul-adds are single-cycle.
     """
-    maskf = mask
     cb = ETC1_CODEBOOK
+    pgf = [ch.astype(jnp.float32) for ch in pg]
+    basef = [bs.astype(jnp.float32) for bs in base]
 
-    # Per-pixel, per-codeword best modifier error.
-    per_cw_err = []
-    for k in range(8):
-        best = None
-        for m in range(4):
-            mod = int(cb[k, m])
-            e = None
-            for ch, bs in zip(rgb, base):
-                cand = _clamp8(bs + mod)
-                d = cand - ch
-                e = d * d if e is None else e + d * d
-            best = e if best is None else jnp.minimum(best, e)
-        # Cumulative subblock error for codeword k.
-        per_cw_err.append(jnp.sum(best * maskf, axis=0, keepdims=True))
+    # Per-channel working tensors, materialized ONCE at (8, T) so the hot
+    # loop has no (1, T) ops or sublane broadcasts (a (1, T) op costs the
+    # same vregs as an (8, T) op in Mosaic). For a modifier v the clamped
+    # delta is: v > 0 -> min(D + v, U); v < 0 -> max(D + v, L), with
+    # D = base - p, U = 255 - p, L = -p (clamp(base+v) can only hit the
+    # matching bound since base is in [0, 255] and the codebook has no 0).
+    D = [bs - ch for ch, bs in zip(pgf, basef)]
+    U = [255.0 - ch for ch in pgf]
+    L = [-ch for ch in pgf]
+
+    def mod_err(v):
+        e = None
+        for dc, uc, lc in zip(D, U, L):
+            d = jnp.minimum(dc + v, uc) if v > 0 else jnp.maximum(dc + v, lc)
+            e = d * d if e is None else e + d * d
+        return e
 
     if heuristic:
-        # FindCodewordHeuristic (etc_compressor.cc:415-455).
+        # FindCodewordHeuristic (etc_compressor.cc:415-455): codeword from
+        # the max per-channel absolute deviation — no error tensor needed.
         dev = None
-        for ch, bs in zip(rgb, base):
-            ad = jnp.sum(jnp.abs(bs - ch) * maskf, axis=0, keepdims=True) // 8
+        for ch, bs in zip(pg, base):
+            ad = jnp.sum(jnp.abs(bs - ch), axis=0, keepdims=True) // 8
             dev = ad if dev is None else jnp.maximum(dev, ad)
         cw = jnp.zeros_like(dev)
         for t in ETC1_HEURISTIC_THRESHOLDS.tolist():
             cw = cw + (dev > t)
-        err = per_cw_err[0]
-        for k in range(1, 8):
-            err = jnp.where(cw == k, per_cw_err[k], err)
+        err = None
     else:
-        # First-occurrence argmin over 8 codewords (etc_compressor.cc:391-409).
+        # Per-codeword best-modifier subblock errors, then first-occurrence
+        # argmin over 8 codewords (etc_compressor.cc:350-409).
+        per_cw_err = []
+        for k in range(8):
+            best = None
+            for m in range(4):
+                e = mod_err(float(cb[k, m]))
+                best = e if best is None else jnp.minimum(best, e)
+            per_cw_err.append(jnp.sum(best, axis=0, keepdims=True))
         err = per_cw_err[0]
-        cw = jnp.zeros_like(err)
+        cw = jnp.zeros(err.shape, jnp.int32)
         for k in range(1, 8):
             better = per_cw_err[k] < err
             cw = jnp.where(better, k, cw)
             err = jnp.where(better, per_cw_err[k], err)
 
-    # Recompute per-pixel best modifier for the chosen codeword.
-    mods = [_codeword_select(cw, cb[:, m]) for m in range(4)]  # (1, T) x4
+    # Recompute per-pixel best modifier for the chosen codeword
+    # (first-strictly-smaller over the 4 modifiers, etc_compressor.cc:364-380).
+    # Codebook columns 0-1 are positive, 2-3 their negations, so the min/max
+    # clamp form extends to the per-lane modifier vectors.
     best_e = None
     best_m = None
     for m in range(4):
+        vm = _codeword_select(cw, cb[:, m]).astype(jnp.float32)  # (1, T)
         e = None
-        for ch, bs in zip(rgb, base):
-            cand = _clamp8(bs + mods[m])
-            d = cand - ch
+        for dc, uc, lc in zip(D, U, L):
+            t = dc + vm
+            d = jnp.minimum(t, uc) if m < 2 else jnp.maximum(t, lc)
             e = d * d if e is None else e + d * d
         if best_e is None:
             best_e = e
-            best_m = jnp.zeros_like(e)
+            best_m = jnp.zeros(e.shape, jnp.int32)
         else:
             better = e < best_e
             best_m = jnp.where(better, m, best_m)
@@ -128,13 +158,16 @@ def _subblock_search(rgb, base, mask, heuristic: bool, avg):
     return cw, err, best_m
 
 
-def _encode_flip(rgb, flip: bool, strategy: int):
+def _encode_flip(rgb_nat, rgb_perm, flip: bool, strategy: int):
     """FindBestSubblockEncoding (etc_compressor.cc:460-542) for one flip.
-    rgb: 3-tuple of (16, T). Returns (hi, lo, err)."""
-    maskf = _sub_mask(flip)
+    rgb_nat / rgb_perm: 3-tuples of (16, T) pixels in natural / _PERM_F row
+    order. Returns (hi, lo, err) — err is None for the heuristic strategy."""
+    src = rgb_nat if flip else rgb_perm
+    g1 = [ch[0:8] for ch in src]
+    g2 = [ch[8:16] for ch in src]
 
-    avg1 = [jnp.sum(ch * maskf, axis=0, keepdims=True) // 8 for ch in rgb]
-    avg2 = [jnp.sum(ch * (1 - maskf), axis=0, keepdims=True) // 8 for ch in rgb]
+    avg1 = [jnp.sum(ch, axis=0, keepdims=True) // 8 for ch in g1]
+    avg2 = [jnp.sum(ch, axis=0, keepdims=True) // 8 for ch in g2]
     q1_555 = [a >> 3 for a in avg1]
     q2_555 = [a >> 3 for a in avg2]
     d555 = [b - a for a, b in zip(q1_555, q2_555)]
@@ -153,17 +186,18 @@ def _encode_flip(rgb, flip: bool, strategy: int):
             for q5, q4 in zip(q2_555, q2_444)]
 
     heuristic = strategy == HEURISTIC
-    cw1, e1, mod1 = _subblock_search(rgb, dec1, maskf, heuristic, avg1)
-    cw2, e2, mod2 = _subblock_search(rgb, dec2, 1 - maskf, heuristic, avg2)
-    err = e1 + e2
-    mod = jnp.where(maskf != 0, mod1, mod2)  # (16, T)
+    cw1, e1, mod1 = _subblock_search(g1, dec1, heuristic)
+    cw2, e2, mod2 = _subblock_search(g2, dec2, heuristic)
+    err = None if heuristic else e1 + e2
+    mods = (mod1.astype(_U32), mod2.astype(_U32))  # (8, T) each
 
     # lo word: bit p_etc = mod&1, bit p_etc+16 = mod>>1.
     lo = None
-    modu = mod.astype(_U32)
     for p in range(16):
-        bits = ((modu[p] & _U32(1)) << _P_ETC[p]) | (
-            ((modu[p] >> 1) & _U32(1)) << (_P_ETC[p] + 16)
+        g, row = _group_pos(flip, p)
+        mu = mods[g][row]
+        bits = ((mu & _U32(1)) << _P_ETC[p]) | (
+            ((mu >> 1) & _U32(1)) << (_P_ETC[p] + 16)
         )
         lo = bits if lo is None else (lo | bits)
     lo = lo[None, :]
@@ -208,23 +242,25 @@ def _heuristic_flip(rgb):
     return ~(err3(left, right) > err3(top, bottom))
 
 
-def _etc1_kernel(px_ref, out_ref, *, strategy):
+def _etc1_kernel(px_ref, pxp_ref, out_ref, *, strategy):
     w = px_ref[:].astype(jnp.int32)
     rgb = (w & 255, (w >> 8) & 255, (w >> 16) & 255)
+    wp = pxp_ref[:].astype(jnp.int32)
+    rgbp = (wp & 255, (wp >> 8) & 255, (wp >> 16) & 255)
 
     if strategy == SPLIT_HORIZONTALLY:
-        hi, lo, _ = _encode_flip(rgb, True, strategy)
+        hi, lo, _ = _encode_flip(rgb, rgbp, True, strategy)
     elif strategy == SPLIT_VERTICALLY:
-        hi, lo, _ = _encode_flip(rgb, False, strategy)
+        hi, lo, _ = _encode_flip(rgb, rgbp, False, strategy)
     elif strategy == HEURISTIC:
-        hi_f, lo_f, _ = _encode_flip(rgb, False, strategy)
-        hi_t, lo_t, _ = _encode_flip(rgb, True, strategy)
+        hi_f, lo_f, _ = _encode_flip(rgb, rgbp, False, strategy)
+        hi_t, lo_t, _ = _encode_flip(rgb, rgbp, True, strategy)
         flip = _heuristic_flip(rgb)
         hi = jnp.where(flip, hi_t, hi_f)
         lo = jnp.where(flip, lo_t, lo_f)
     else:  # SMALLER_ERROR: lr wins ties (etc_compressor.cc:583).
-        hi_f, lo_f, err_f = _encode_flip(rgb, False, strategy)
-        hi_t, lo_t, err_t = _encode_flip(rgb, True, strategy)
+        hi_f, lo_f, err_f = _encode_flip(rgb, rgbp, False, strategy)
+        hi_t, lo_t, err_t = _encode_flip(rgb, rgbp, True, strategy)
         take_lr = err_f <= err_t
         hi = jnp.where(take_lr, hi_f, hi_t)
         lo = jnp.where(take_lr, lo_f, lo_t)
@@ -369,16 +405,21 @@ def encode_etc1_packed(words: jax.Array, strategy: int = SMALLER_ERROR,
     tile = min(LANE_TILE, max(128, 1 << (n - 1).bit_length()))
     words = _pad_lanes(words, tile)
     np_ = words.shape[1]
+    # Row-permuted copy grouping the flip=False subblocks (see _PERM_F);
+    # one static XLA gather, negligible next to the search.
+    words_perm = words[np.array(_PERM_F), :]
     out = pl.pallas_call(
         partial(_etc1_kernel, strategy=strategy),
         grid=(np_ // tile,),
         in_specs=[pl.BlockSpec((16, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((16, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, np_), jnp.uint8),
         interpret=interpret,
-    )(words)
+    )(words, words_perm)
     return out[:, :n]
 
 
