@@ -20,7 +20,7 @@ Everything is plain XLA; it fuses into a handful of full-width VPU loops.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,71 @@ from texcomp.codecs.pvrtc import (
 )
 
 _U32 = jnp.uint32
+_ZTILE = 1024
+
+
+@lru_cache(maxsize=None)
+def _zorder_tiles(nbx: int, nby: int):
+    """Tile decomposition of the Z-order permutation.
+
+    The low 10 Morton bits address a fixed-shape tile (32x32 blocks for
+    square-ish grids), identically laid out for every tile: Z-order then
+    factors into (a) a coarse reorder of whole tiles and (b) ONE shared
+    within-tile permutation. (a) is a few hundred contiguous row copies;
+    (b) runs as a one-hot bf16 matmul on the MXU over byte planes (exact
+    for bytes) — ~25x faster than an element gather at 4096^2, where
+    TPU random access costs ~10 ns/element.
+
+    Returns (tile_order, th, tw, one_hot) or None when the grid is too
+    small / unstructured (fall back to a plain gather)."""
+    perm = np.asarray(zorder_block_permutation(nbx, nby))
+    n = perm.size
+    if n % _ZTILE:
+        return None
+    pr = perm.reshape(-1, _ZTILE)
+    off = pr - pr[:, :1]
+    if not (off == off[0]).all():
+        return None
+    dy, dx = off[0] // nbx, off[0] % nbx
+    th, tw = int(dy.max()) + 1, int(dx.max()) + 1
+    local = dy * tw + dx
+    origins = pr[:, 0]
+    if (
+        th * tw != _ZTILE
+        or nby % th or nbx % tw
+        or np.unique(local).size != _ZTILE
+        or ((origins % nbx) % tw).any()
+        or ((origins // nbx) % th).any()
+    ):
+        return None
+    ntx = nbx // tw
+    tile_order = (origins // nbx // th) * ntx + (origins % nbx) // tw
+    one_hot = np.zeros((_ZTILE, _ZTILE), np.float32)
+    one_hot[local, np.arange(_ZTILE)] = 1.0  # out[:, j] = in[:, local[j]]
+    return tile_order.astype(np.int32), th, tw, one_hot
+
+
+def _zorder_words(w2: jax.Array, nbx: int, nby: int) -> jax.Array:
+    """(C, NB) uint32 row-major block order -> Z-order along the lane axis."""
+    tiles = _zorder_tiles(nbx, nby)
+    if tiles is None:
+        perm = jnp.asarray(zorder_block_permutation(nbx, nby))
+        return jnp.take(w2, perm, axis=1)
+    tile_order, th, tw, one_hot = tiles
+    c, n = w2.shape
+    nty, ntx = nby // th, nbx // tw
+    t = w2.reshape(c, nty, th, ntx, tw).transpose(0, 1, 3, 2, 4)
+    t = t.reshape(c, (nty * ntx), _ZTILE)
+    t = jnp.take(t, jnp.asarray(tile_order), axis=1)
+    m_bf = jnp.asarray(one_hot, dtype=jnp.bfloat16)
+    planes = [((t >> (8 * b)) & 0xFF).astype(jnp.bfloat16) for b in range(4)]
+    outp = [
+        jnp.einsum("cnt,tu->cnu", p, m_bf,
+                   preferred_element_type=jnp.float32).astype(_U32)
+        for p in planes
+    ]
+    out = outp[0] | (outp[1] << 8) | (outp[2] << 16) | (outp[3] << 24)
+    return out.reshape(c, n)
 
 
 def _to_block_planes(image: jax.Array):
@@ -151,22 +216,20 @@ def _upscale_planes(low_ch, nby: int, nbx: int):
 
     # c00 = (top, left); c01 = (top, right); c10 = (bottom, left);
     # c11 = (bottom, right). "right" = left+1: prev-left -> current (0);
-    # not-prev-left -> next (-1 roll). Same for bottom.
-    def corner2(top_prev, left_prev, dy_pair, dx_pair):
+    # not-prev-left -> next (-1 roll). Same for bottom. Nested selects: the
+    # quadrant masks partition, so 3 wheres per corner beat the 4-masked-add
+    # formulation ~4x.
+    def corner2(dy_pair, dx_pair):
         dy_t, dy_b = dy_pair  # (dy if prev, dy if not prev)
         dx_l, dx_r = dx_pair
-        out = 0
-        for tcase, dy in ((True, dy_t), (False, dy_b)):
-            for lcase, dx in ((True, dx_l), (False, dx_r)):
-                m = (top_prev if tcase else ~top_prev) & (
-                    left_prev if lcase else ~left_prev)
-                out = out + jnp.where(m, var[(dy, dx)], 0)
-        return out
+        top = jnp.where(left_is_prev, var[(dy_t, dx_l)], var[(dy_t, dx_r)])
+        bot = jnp.where(left_is_prev, var[(dy_b, dx_l)], var[(dy_b, dx_r)])
+        return jnp.where(top_is_prev, top, bot)
 
-    c00 = corner2(top_is_prev, left_is_prev, (1, 0), (1, 0))
-    c01 = corner2(top_is_prev, left_is_prev, (1, 0), (0, -1))
-    c10 = corner2(top_is_prev, left_is_prev, (0, -1), (1, 0))
-    c11 = corner2(top_is_prev, left_is_prev, (0, -1), (0, -1))
+    c00 = corner2((1, 0), (1, 0))
+    c01 = corner2((1, 0), (0, -1))
+    c10 = corner2((0, -1), (1, 0))
+    c11 = corner2((0, -1), (0, -1))
 
     wa = (BLOCK_H - yw) * (BLOCK_W - xw)
     wb = (BLOCK_H - yw) * xw
@@ -192,27 +255,24 @@ def _modulate_planes(planes, a_up, b_up):
 
 
 def _neighbor(mod, nby, nbx, direction: str):
-    """Image-wrapped neighbor values in block-plane layout."""
-    rows = []
+    """Image-wrapped neighbor values in block-plane layout.
+
+    Built from whole-group slices + one batched roll (instead of 32 per-row
+    extracts, which each cost a sublane relayout)."""
+    nb = mod.shape[1]
     if direction == "h":  # (y, x+1)
-        # Neighbor of the last in-block column is column 0 of the next block
-        # (wrapped at the image edge).
-        rolled = [
-            jnp.roll(mod[py * 8 + 0].reshape(nby, nbx), -1, axis=1).reshape(-1)
-            for py in range(4)
-        ]
-        for s in range(32):
-            py, px = s // 8, s % 8
-            rows.append(mod[s + 1] if px < 7 else rolled[py])
-    else:  # (y+1, x)
-        rolled = [
-            jnp.roll(mod[0 * 8 + px].reshape(nby, nbx), -1, axis=0).reshape(-1)
-            for px in range(8)
-        ]
-        for s in range(32):
-            py, px = s // 8, s % 8
-            rows.append(mod[s + 8] if py < 3 else rolled[px])
-    return jnp.stack(rows, axis=0)
+        # Within a block, row s's neighbor is s+1; the last in-block column
+        # (px=7) wraps to column 0 (px=0 rows: 0, 8, 16, 24) of the next
+        # block to the right (image-wrapped).
+        col0 = mod.reshape(4, 8, nb)[:, 0]  # (4, NB), px=0 per py
+        rolled = jnp.roll(col0.reshape(4, nby, nbx), -1, axis=2)
+        rolled = rolled.reshape(4, 1, nb)
+        shifted = mod.reshape(4, 8, nb)[:, 1:8]  # (4, 7, NB)
+        return jnp.concatenate([shifted, rolled], axis=1).reshape(32, nb)
+    # (y+1, x): rows 8..31 shift up one block-row; the bottom row group
+    # (py=3) wraps to py=0 of the block below (image-wrapped).
+    rolled = jnp.roll(mod[0:8].reshape(8, nby, nbx), -1, axis=1)
+    return jnp.concatenate([mod[8:32], rolled.reshape(8, nb)], axis=0)
 
 
 def _modes_planes(mod, nby, nbx):
@@ -304,13 +364,8 @@ def encode_pvrtc_2bpp_fast(image: jax.Array) -> jax.Array:
     mod_words = _pack_modulation(mod, modes)[0]
     color_words = _encode_colors(a, b, modes)[0]
 
-    perm = jnp.asarray(zorder_block_permutation(nbx, nby))
-    mod_words = mod_words[perm]
-    color_words = color_words[perm]
-    parts = [
-        mod_words & _U32(0xFF), (mod_words >> 8) & _U32(0xFF),
-        (mod_words >> 16) & _U32(0xFF), (mod_words >> 24) & _U32(0xFF),
-        color_words & _U32(0xFF), (color_words >> 8) & _U32(0xFF),
-        (color_words >> 16) & _U32(0xFF), (color_words >> 24) & _U32(0xFF),
-    ]
-    return jnp.stack(parts, axis=-1).astype(jnp.uint8)
+    # Z-order via the MXU-tiled permutation; bytes via LE bitcast, not 8
+    # uint8 lane stacks (8-bit shuffles are slow; see CLAUDE.md playbook).
+    zw = _zorder_words(jnp.stack([mod_words, color_words]), nbx, nby)
+    both = jnp.stack([zw[0], zw[1]], axis=-1)  # (NB, 2) uint32
+    return jax.lax.bitcast_convert_type(both, jnp.uint8).reshape(-1, 8)
