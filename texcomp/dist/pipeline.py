@@ -177,22 +177,36 @@ def quality_report(pipeline: AssetPipeline, images: np.ndarray,
                    codec: str = "dxt1") -> float:
     """Encode + decode a batch and return the mean PSNR (dB), with the
     reduction running as a cross-mesh mean (the pipeline's only
-    collective)."""
+    collective). Supports every pipeline codec: dxt1 | dxt5 | etc1 |
+    pvrtc | pvrtc4 (the PVRTC decoders are extensions — the reference
+    cannot decode PVRTC, pvrtc_compressor.cc:669-705)."""
     from texcomp.codecs import dxt, etc
 
     mesh = pipeline.mesh
 
     def step(imgs, weights):
         def local(x, wts):
+            h, w = x.shape[1], x.shape[2]
             enc = _batch_encode(x, codec, 2)
-            if codec == "dxt1":
-                dec = jax.vmap(lambda d: dxt.decode_dxt1_blocks(d))(enc)
-            elif codec == "dxt5":
-                dec = jax.vmap(lambda d: dxt.decode_dxt5_blocks(d))(enc)
+            if codec in ("pvrtc", "pvrtc4"):
+                from texcomp.codecs.pvrtc import decode_pvrtc_2bpp_device
+                from texcomp.codecs.pvrtc4 import decode_pvrtc_4bpp_device
+
+                dec_fn = (decode_pvrtc_2bpp_device if codec == "pvrtc"
+                          else decode_pvrtc_4bpp_device)
+                dec = jax.vmap(
+                    lambda d: dec_fn(d, height=h, width=w))(enc)
+                err = (dec.astype(jnp.int32) - x.astype(jnp.int32))
             else:
-                dec = jax.vmap(lambda d: etc.decode_etc1_blocks(d))(enc)
-            blocks = jax.vmap(image_to_blocks)(x)
-            err = (dec - blocks).astype(jnp.float32)
+                if codec == "dxt1":
+                    dec = jax.vmap(lambda d: dxt.decode_dxt1_blocks(d))(enc)
+                elif codec == "dxt5":
+                    dec = jax.vmap(lambda d: dxt.decode_dxt5_blocks(d))(enc)
+                else:
+                    dec = jax.vmap(lambda d: etc.decode_etc1_blocks(d))(enc)
+                blocks = jax.vmap(image_to_blocks)(x)
+                err = dec - blocks
+            err = err.astype(jnp.float32)
             # Per-image sums weighted so batch-padding duplicates don't
             # bias the mean, then one global psum (the only collective).
             se = jnp.sum(err * err, axis=(1, 2, 3)) * wts
