@@ -162,16 +162,13 @@ def encode_pvrtc_4bpp_device(image: jax.Array) -> jax.Array:
     modes0 = jnp.zeros((1, mod_words.shape[0]), dtype=jnp.int32)
     color_words = _encode_colors(a, b, modes0)[0]
 
-    perm = jnp.asarray(zorder_block_permutation(nb, nb))
-    mod_words = mod_words[perm]
-    color_words = color_words[perm]
-    parts = [
-        mod_words & _U32(0xFF), (mod_words >> 8) & _U32(0xFF),
-        (mod_words >> 16) & _U32(0xFF), (mod_words >> 24) & _U32(0xFF),
-        color_words & _U32(0xFF), (color_words >> 8) & _U32(0xFF),
-        (color_words >> 16) & _U32(0xFF), (color_words >> 24) & _U32(0xFF),
-    ]
-    return jnp.stack(parts, axis=-1).astype(jnp.uint8)
+    # MXU-tiled Z-order + LE bitcast (see ops/pvrtc_fast._zorder_words):
+    # element gathers cost ~10 ns each on TPU and would dominate.
+    from texcomp.ops.pvrtc_fast import _zorder_words
+
+    zw = _zorder_words(jnp.stack([mod_words, color_words]), nb, nb)
+    both = jnp.stack([zw[0], zw[1]], axis=-1)  # (NB, 2) uint32
+    return jax.lax.bitcast_convert_type(both, jnp.uint8).reshape(-1, 8)
 
 
 def _decode_color(word, is_b: bool):
