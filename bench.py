@@ -87,6 +87,28 @@ def bench_pvrtc_encode(h: int = 1024, w: int = 1024) -> float:
     return (h * w) / dt / 1e6
 
 
+def bench_mipmap_chain(size: int = 1024) -> float:
+    """Full DXT5 mipmap chain from a size^2 level-0 payload — BASELINE
+    config 2's workload — as ONE fused device program. Throughput counts
+    the pixels decoded across all levels."""
+    from texcomp.ops import dxt5_encode_image_op
+    from texcomp.ops.mipmap import dxtc_mipmap_chain, num_chain_levels
+
+    img = _rand_image(size, size, 4)
+    data = jax.block_until_ready(dxt5_encode_image_op(img))
+    levels = num_chain_levels(size, size)
+    src_pixels = sum((size // (2 ** k)) ** 2 for k in range(levels))
+
+    def op(d):
+        outs = dxtc_mipmap_chain(d, height=size, width=size, is_dxt1=False,
+                                 levels=levels)
+        return jnp.concatenate([o.reshape(1, -1).astype(jnp.uint32).sum(
+            axis=1, keepdims=True) for o in outs], axis=1)
+
+    dt = _time_op(op, data, iters=5)
+    return src_pixels / dt / 1e6
+
+
 def bench_pipeline(n_textures: int = 256, size: int = 256) -> float:
     """Mixed-codec asset-pipeline throughput (textures of size^2, Mpix/s):
     the single-chip slice of BASELINE config 5."""
@@ -117,6 +139,7 @@ def bench_pipeline(n_textures: int = 256, size: int = 256) -> float:
 
 _EXTRA_BENCHES = {
     "dxt5_encode": bench_dxt5_encode,       # BASELINE config 2
+    "dxt5_mipmap": bench_mipmap_chain,      # BASELINE config 2 (chain)
     "etc1_encode": bench_etc1_encode,       # BASELINE config 3
     "pvrtc_encode": bench_pvrtc_encode,     # BASELINE config 4
     "pipeline_mixed": bench_pipeline,       # BASELINE config 5 (1-chip slice)

@@ -1,0 +1,85 @@
+"""Fused on-device mipmap chains (EXTENSION — TPU-first answer to the
+"1024x1024 + full mipmap chain" workload, BASELINE config 2).
+
+The reference computes each mip level with a separate Downsample call
+(decode 2x2 blocks -> truncating average -> re-encode one block,
+compressor4x4_helper.h:264-391). The API path here mirrors that per-level
+structure, which costs one host<->device round trip per level. This module
+runs the WHOLE chain as one jit program: every level's payload is produced
+on device from the previous level's payload — decode, 2x2 truncating
+average (color_util.h:335-380 semantics: non-negative sum // 4), re-encode
+— with no intermediate host transfer.
+
+Byte-exactness: each level equals what repeated Compressor.downsample calls
+produce (tested in tests/test_mipmap.py), which are themselves
+oracle-verified; levels are chained from the *encoded payloads* (not the
+pre-encode pixels), exactly like repeated Downsample.
+
+Covers the clean case: RGB/RGBA (no swap — downsample re-encodes with
+swap_red_and_blue=false anyway, compressor4x4_helper.h:602-607), reference
+quality, and even block counts at every produced level (sizes that are
+multiples of 4 with >= 2x2 blocks). The API tail (4x4 -> 2x2 -> 1x1 and
+ragged sizes) stays on the per-level path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from texcomp.ops import dxt_pallas
+
+
+def num_chain_levels(height: int, width: int) -> int:
+    """How many chained levels the fused op can produce: each produced
+    level must have an even (or 1... excluded) block count in both dims,
+    i.e. source dims multiples of 8 down the chain."""
+    levels = 0
+    h, w = height, width
+    while h % 8 == 0 and w % 8 == 0:
+        h //= 2
+        w //= 2
+        levels += 1
+    return levels
+
+
+@partial(jax.jit, static_argnames=("height", "width", "is_dxt1", "levels",
+                                   "interpret"))
+def dxtc_mipmap_chain(data: jax.Array, *, height: int, width: int,
+                      is_dxt1: bool, levels: int,
+                      interpret: bool = False) -> tuple[jax.Array, ...]:
+    """(N, block_size) uint8 level-0 payload -> tuple of payloads for
+    levels 1..levels, all computed on device in one compiled program.
+
+    height/width are level 0's uncompressed extent (multiples of 4, with
+    even block counts through all requested levels — see num_chain_levels).
+    """
+    outs = []
+    cur = data
+    h, w = height, width
+    for _ in range(levels):
+        if is_dxt1:
+            img = dxt_pallas.dxt1_decode_image(
+                cur, height=h, width=w, interpret=interpret)[:, :, :3]
+        else:
+            img = dxt_pallas.dxt5_decode_image(
+                cur, height=h, width=w, interpret=interpret)
+        h //= 2
+        w //= 2
+        c = img.shape[-1]
+        # Truncating 2x2 average (ComputeAveragePixel2x2 semantics:
+        # non-negative sum // 4 == the reference's truncating divide).
+        avg = (img.astype(jnp.int32).reshape(h, 2, w, 2, c).sum(axis=(1, 3))
+               // 4).astype(jnp.uint8)
+        if is_dxt1:
+            cur = dxt_pallas.dxt1_encode_image(avg, interpret=interpret)
+        else:
+            words = dxt_pallas.pack_rgba_image(avg)
+            flag = jnp.zeros((1, words.shape[1]), dtype=jnp.uint32)
+            cur = dxt_pallas.encode_dxt5_packed(
+                jnp.concatenate([words, flag], axis=0),
+                interpret=interpret).T
+        outs.append(cur)
+    return tuple(outs)
