@@ -109,6 +109,23 @@ def bench_mipmap_chain(size: int = 1024) -> float:
     return src_pixels / dt / 1e6
 
 
+def bench_transcode(h: int = 2048, w: int = 2048) -> float:
+    """DXT1 -> ETC1 in-place transcode (fused device decode -> heuristic
+    re-encode, dxtc_to_etc_transcoder.cc:29-40)."""
+    from texcomp.ops import dxt_pallas, etc_pallas
+
+    rng = np.random.default_rng(0)
+    data = jax.device_put(
+        rng.integers(0, 256, ((h // 4) * (w // 4), 8), dtype=np.uint8))
+
+    def op(d):
+        words = dxt_pallas.blocks_to_words(d, 2)
+        return etc_pallas.transcode_dxt1_to_etc1_packed(words)
+
+    dt = _time_op(op, data)
+    return (h * w) / dt / 1e6
+
+
 def bench_pipeline(n_textures: int = 256, size: int = 256) -> float:
     """Mixed-codec asset-pipeline throughput (textures of size^2, Mpix/s):
     the single-chip slice of BASELINE config 5."""
@@ -143,6 +160,7 @@ _EXTRA_BENCHES = {
     "etc1_encode": bench_etc1_encode,       # BASELINE config 3
     "pvrtc_encode": bench_pvrtc_encode,     # BASELINE config 4
     "pipeline_mixed": bench_pipeline,       # BASELINE config 5 (1-chip slice)
+    "transcode_dxt1_etc1": bench_transcode,
     "dxt1_decode": bench_dxt1_decode,
     "etc1_decode": bench_etc1_decode,
 }

@@ -87,3 +87,51 @@ def test_downsample_chain_levels_arg(rng):
 
 def test_downsample_chain_invalid():
     assert DxtcCompressor().downsample_chain(CompressedImage()) == []
+
+
+@pytest.mark.parametrize("strategy", [0, 2, 3])
+def test_etc1_fused_chain_matches_repeated_downsample(strategy, rng):
+    from texcomp import CompressionStrategy, EtcCompressor
+    from texcomp.ops.mipmap import mipmap_chain
+
+    img = make_test_image(rng, 32, 32, 3)
+    comp = EtcCompressor(CompressionStrategy(strategy))
+    ci = CompressedImage()
+    assert comp.compress(Format.RGB, 32, 32, 0, img.tobytes(), ci)
+    n = num_chain_levels(32, 32)  # 3: 16, 8, 4
+    data = jnp.asarray(np.asarray(ci.get_data()).reshape(-1, 8))
+    fused = mipmap_chain(data, height=32, width=32, codec="etc1",
+                         levels=n, strategy=strategy, interpret=True)
+
+    expect = []
+    cur = ci
+    for _ in range(n):
+        nxt = CompressedImage()
+        assert comp.downsample(cur, nxt)
+        expect.append(nxt)
+        cur = nxt
+    for lvl, (got, want) in enumerate(zip(fused, expect)):
+        np.testing.assert_array_equal(
+            np.asarray(got).reshape(-1), np.asarray(want.get_data()),
+            err_msg=f"strategy {strategy} level {lvl + 1}")
+
+
+def test_etc1_downsample_chain_api(rng):
+    from texcomp import EtcCompressor
+
+    img = make_test_image(rng, 32, 16, 3)
+    comp = EtcCompressor()
+    ci = CompressedImage()
+    assert comp.compress(Format.RGB, 32, 16, 0, img.tobytes(), ci)
+    chain = comp.downsample_chain(ci)
+    sizes = [(m.get_metadata().uncompressed_height,
+              m.get_metadata().uncompressed_width) for m in chain]
+    assert sizes == [(16, 8), (8, 4), (4, 2), (2, 1), (1, 1)]
+    cur = ci
+    for lvl, got in enumerate(chain):
+        nxt = CompressedImage()
+        assert comp.downsample(cur, nxt)
+        np.testing.assert_array_equal(
+            np.asarray(got.get_data()), np.asarray(nxt.get_data()),
+            err_msg=f"level {lvl + 1}")
+        cur = nxt

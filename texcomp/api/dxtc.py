@@ -324,17 +324,8 @@ class DxtcCompressor(Compressor):
                 results.append(ci)
 
         # Per-level tail (and the whole chain off-TPU / HQ / swapped).
-        cur = results[-1] if results else image
-        while levels is None or len(results) < levels:
-            cm = cur.get_metadata()
-            if max(cm.uncompressed_height, cm.uncompressed_width) <= 1:
-                break  # 1x1 downsamples to itself forever
-            nxt = CompressedImage()
-            if not self.downsample(cur, nxt):
-                break
-            results.append(nxt)
-            cur = nxt
-        return results
+        return h4.downsample_chain_tail(
+            self, results[-1] if results else image, results, levels)
 
     def pad(self, image, padded_height, padded_width, padded_image) -> bool:
         if not self.is_valid_compressed_image(image) or padded_image is None:

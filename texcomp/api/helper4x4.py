@@ -69,6 +69,24 @@ def setup_compressed_image(
     return True
 
 
+def downsample_chain_tail(compressor, cur: CompressedImage,
+                          results: list, levels: int | None) -> list:
+    """Extend ``results`` with repeated compressor.downsample() calls until
+    ``levels`` are collected, downsample fails, or a 1x1 level is reached
+    (a 1x1 image downsamples to itself forever). Shared by the
+    downsample_chain extensions."""
+    while levels is None or len(results) < levels:
+        cm = cur.get_metadata()
+        if max(cm.uncompressed_height, cm.uncompressed_width) <= 1:
+            break
+        nxt = CompressedImage()
+        if not compressor.downsample(cur, nxt):
+            break
+        results.append(nxt)
+        cur = nxt
+    return results
+
+
 def buffer_to_image_array(
     buffer, height: int, width: int, components: int, padding_bytes_per_row: int
 ) -> np.ndarray:

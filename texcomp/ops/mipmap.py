@@ -29,13 +29,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from texcomp.ops import dxt_pallas
+from texcomp.ops import dxt_pallas, etc_pallas
 
 
 def num_chain_levels(height: int, width: int) -> int:
-    """How many chained levels the fused op can produce: each produced
-    level must have an even (or 1... excluded) block count in both dims,
-    i.e. source dims multiples of 8 down the chain."""
+    """How many chained levels the fused op can produce: downsampling a
+    level requires an even block count in both dims (i.e. extents that are
+    multiples of 8); the chain stops at the first level that isn't."""
     levels = 0
     h, w = height, width
     while h % 8 == 0 and w % 8 == 0:
@@ -45,14 +45,15 @@ def num_chain_levels(height: int, width: int) -> int:
     return levels
 
 
-@partial(jax.jit, static_argnames=("height", "width", "is_dxt1", "levels",
-                                   "interpret"))
-def dxtc_mipmap_chain(data: jax.Array, *, height: int, width: int,
-                      is_dxt1: bool, levels: int,
-                      interpret: bool = False) -> tuple[jax.Array, ...]:
+@partial(jax.jit, static_argnames=("height", "width", "codec", "strategy",
+                                   "levels", "interpret"))
+def mipmap_chain(data: jax.Array, *, height: int, width: int, codec: str,
+                 levels: int, strategy: int = 2,
+                 interpret: bool = False) -> tuple[jax.Array, ...]:
     """(N, block_size) uint8 level-0 payload -> tuple of payloads for
     levels 1..levels, all computed on device in one compiled program.
 
+    codec: "dxt1" | "dxt5" | "etc1" (strategy applies to etc1 only).
     height/width are level 0's uncompressed extent (multiples of 4, with
     even block counts through all requested levels — see num_chain_levels).
     """
@@ -60,12 +61,15 @@ def dxtc_mipmap_chain(data: jax.Array, *, height: int, width: int,
     cur = data
     h, w = height, width
     for _ in range(levels):
-        if is_dxt1:
+        if codec == "dxt1":
             img = dxt_pallas.dxt1_decode_image(
                 cur, height=h, width=w, interpret=interpret)[:, :, :3]
-        else:
+        elif codec == "dxt5":
             img = dxt_pallas.dxt5_decode_image(
                 cur, height=h, width=w, interpret=interpret)
+        else:
+            img = etc_pallas.etc1_decode_image(
+                cur, height=h, width=w, interpret=interpret)[:, :, :3]
         h //= 2
         w //= 2
         c = img.shape[-1]
@@ -73,13 +77,25 @@ def dxtc_mipmap_chain(data: jax.Array, *, height: int, width: int,
         # non-negative sum // 4 == the reference's truncating divide).
         avg = (img.astype(jnp.int32).reshape(h, 2, w, 2, c).sum(axis=(1, 3))
                // 4).astype(jnp.uint8)
-        if is_dxt1:
+        if codec == "dxt1":
             cur = dxt_pallas.dxt1_encode_image(avg, interpret=interpret)
-        else:
+        elif codec == "dxt5":
             words = dxt_pallas.pack_rgba_image(avg)
             flag = jnp.zeros((1, words.shape[1]), dtype=jnp.uint32)
             cur = dxt_pallas.encode_dxt5_packed(
                 jnp.concatenate([words, flag], axis=0),
                 interpret=interpret).T
+        else:
+            cur = etc_pallas.etc1_encode_image(avg, strategy,
+                                               interpret=interpret)
         outs.append(cur)
     return tuple(outs)
+
+
+def dxtc_mipmap_chain(data: jax.Array, *, height: int, width: int,
+                      is_dxt1: bool, levels: int,
+                      interpret: bool = False) -> tuple[jax.Array, ...]:
+    """DXTC-only wrapper kept for the DxtcCompressor call site."""
+    return mipmap_chain(data, height=height, width=width,
+                        codec="dxt1" if is_dxt1 else "dxt5",
+                        levels=levels, interpret=interpret)
