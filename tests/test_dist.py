@@ -143,6 +143,25 @@ def test_atlas_sharded_1024(rng):
     assert out1.shape == (256 * 256, 8)
 
 
+@pytest.mark.parametrize("codec,c,bs", [("dxt5", 4, 16), ("etc1", 3, 8)])
+def test_atlas_sharded_all_codecs(codec, c, bs, rng):
+    """encode_atlas_sharded covers dxt5/etc1 too: sharded bytes equal the
+    single-device encode."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from texcomp.dist.mesh import encode_atlas_sharded
+
+    _need_devices(8)
+    img = make_test_image(rng, 128, 64, c)
+    m1 = Mesh(np.array(jax.devices()[:1]), ("data",))
+    m8 = Mesh(np.array(jax.devices()[:8]), ("data",))
+    out1 = np.asarray(encode_atlas_sharded(jnp.asarray(img), m1, codec))
+    out8 = np.asarray(encode_atlas_sharded(jnp.asarray(img), m8, codec))
+    np.testing.assert_array_equal(out1, out8)
+    assert out1.shape == (32 * 16, bs)
+
+
 def test_step_data_block_mesh_1024(rng):
     """The full sharded step on a ("data", "block") 4x2 mesh with 1024^2
     images: encode bytes byte-equal the unsharded encode and the PSNR

@@ -80,17 +80,21 @@ def _step(images, mesh):
     return encoded, psnr
 
 
-def dxt1_encode_atlas_sharded(image: jax.Array, mesh: Mesh) -> jax.Array:
+def encode_atlas_sharded(image: jax.Array, mesh: Mesh, codec: str = "dxt1",
+                         strategy: int = 2) -> jax.Array:
     """Encode ONE giant atlas with its block rows sharded across chips.
 
-    (H, W, 3) uint8, H a multiple of 4 * mesh devices -> (N, 8) uint8 in
-    row-major block order. Blocks are independent, so each device encodes
-    its horizontal strip with zero communication; results concatenate along
+    (H, W, C) uint8, H a multiple of 4 * mesh devices -> (N, block_bytes)
+    uint8 in row-major block order. Blocks are independent in every
+    4x4-block codec (dxt1 | dxt5 | etc1), so each device encodes its
+    horizontal strip with zero communication; results concatenate along
     the block axis. This is the single-image analog of data parallelism —
     use it when one texture is too large (or too latency-critical) for one
-    chip.
+    chip. (PVRTC is excluded: its bilinear upscale reads wrap-around
+    neighborhoods across strip boundaries.)
     """
-    from texcomp.ops import dxt1_encode_image_op
+    from texcomp.ops import (dxt1_encode_image_op, dxt5_encode_image_op,
+                             etc1_encode_image_op)
 
     ndev = int(np.prod(mesh.devices.shape))
     h = image.shape[0]
@@ -98,9 +102,14 @@ def dxt1_encode_atlas_sharded(image: jax.Array, mesh: Mesh) -> jax.Array:
         raise ValueError(
             f"atlas rows ({h}) must split into 4-row multiples across "
             f"{ndev} devices (need a multiple of {4 * ndev})")
-
-    def local(img_strip):
-        return dxt1_encode_image_op(img_strip)
+    ops = {
+        "dxt1": dxt1_encode_image_op,
+        "dxt5": dxt5_encode_image_op,
+        "etc1": lambda img: etc1_encode_image_op(img, strategy),
+    }
+    if codec not in ops:
+        raise ValueError(f"unsupported atlas codec {codec!r}")
+    local = ops[codec]
 
     fn = jax.jit(
         jax.shard_map(
@@ -110,6 +119,11 @@ def dxt1_encode_atlas_sharded(image: jax.Array, mesh: Mesh) -> jax.Array:
         )
     )
     return fn(image)
+
+
+def dxt1_encode_atlas_sharded(image: jax.Array, mesh: Mesh) -> jax.Array:
+    """DXT1 wrapper around :func:`encode_atlas_sharded`."""
+    return encode_atlas_sharded(image, mesh, "dxt1")
 
 
 def training_step_multichip(n_devices: int) -> None:
