@@ -190,8 +190,8 @@ def main() -> int:
                 extras[name] = round(fn(), 1)
             except Exception as e:
                 extras[name] = None
-                print(json.dumps({"metric": name, "error": str(e)[:200]}),
-                      file=sys.stderr)
+                print(json.dumps({"metric": name + "_throughput",
+                                  "error": str(e)[:200]}), file=sys.stderr)
                 continue
             if args.all:
                 print(json.dumps({

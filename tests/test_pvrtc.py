@@ -150,10 +150,12 @@ def test_decode_extension_modulation_roundtrip(rng):
     np.testing.assert_array_equal(read[relevant], mod_true[relevant])
 
 
-@pytest.mark.parametrize("size", [8, 32, 64])
+@pytest.mark.parametrize("size", [8, 32, 64, 256])
 def test_fast_pipeline_parity(size, rng):
     """The gather-free TPU pipeline (ops/pvrtc_fast) produces the same bytes
-    as the reference-parity codec pipeline."""
+    as the reference-parity codec pipeline. Size 256 (2048 blocks) takes
+    the MXU-tiled Z-order path (_zorder_tiles); the smaller sizes take the
+    gather fallback."""
     import jax.numpy as jnp
 
     from texcomp.ops import pvrtc_fast
@@ -166,6 +168,25 @@ def test_fast_pipeline_parity(size, rng):
         ref = np.asarray(pvrtc_codec.encode_pvrtc_2bpp_device(jnp.asarray(img)))
         out = np.asarray(pvrtc_fast.encode_pvrtc_2bpp_fast(jnp.asarray(img)))
         np.testing.assert_array_equal(out, ref, err_msg=f"{size} {kind}")
+
+
+@pytest.mark.parametrize("nbx,nby", [(4, 8), (32, 64), (64, 128), (32, 32),
+                                     (64, 64), (256, 512)])
+def test_zorder_words_matches_gather(nbx, nby, rng):
+    """The MXU-tiled Z-order (ops/pvrtc_fast._zorder_words) equals the
+    plain permutation gather for 2bpp (nby = 2*nbx) and 4bpp (square)
+    grids, covering both the tiled path (>= 1024 blocks) and the
+    small-grid fallback."""
+    import jax.numpy as jnp
+
+    from texcomp.codecs.pvrtc import zorder_block_permutation
+    from texcomp.ops.pvrtc_fast import _zorder_words
+
+    n = nbx * nby
+    words = rng.integers(0, 2**32, (2, n), dtype=np.uint32)
+    got = np.asarray(_zorder_words(jnp.asarray(words), nbx, nby))
+    perm = np.asarray(zorder_block_permutation(nbx, nby))
+    np.testing.assert_array_equal(got, words[:, perm])
 
 
 class TestPvrtc4bpp:

@@ -286,46 +286,14 @@ class DxtcCompressor(Compressor):
         """
         if not self.is_valid_compressed_image(image):
             return []
-        from texcomp.ops import use_pallas
-
-        md = image.get_metadata()
-        fmt = md.format
-        h, w = md.uncompressed_height, md.uncompressed_width
-        results: list[CompressedImage] = []
-
-        fused = 0
-        if (
-            use_pallas()
-            and self._quality == "reference"
-            and not needs_red_and_blue_swapped(fmt)
-            and h % 4 == 0 and w % 4 == 0
-        ):
-            from texcomp.ops.mipmap import dxtc_mipmap_chain, num_chain_levels
-
-            fused = num_chain_levels(h, w)
-            if levels is not None:
-                fused = min(fused, levels)
-        if fused > 0:
-            bs = self._block_size(fmt)
-            data = jnp.asarray(
-                np.ascontiguousarray(image.get_data()).reshape(-1, bs))
-            payloads = dxtc_mipmap_chain(
-                data, height=h, width=w, is_dxt1=self._is_dxt1(fmt),
-                levels=fused)
-            lh, lw = h, w
-            for p in payloads:
-                lh //= 2
-                lw //= 2
-                ci = CompressedImage()
-                if not h4.setup_compressed_image(
-                        ci, self.name, bs, fmt, lh, lw, 0):
-                    return results
-                ci.get_mutable_data()[:] = np.asarray(p).reshape(-1)
-                results.append(ci)
-
-        # Per-level tail (and the whole chain off-TPU / HQ / swapped).
-        return h4.downsample_chain_tail(
-            self, results[-1] if results else image, results, levels)
+        fmt = image.get_metadata().format
+        return h4.downsample_chain(
+            self, image, levels,
+            block_size=self._block_size(fmt),
+            codec="dxt1" if self._is_dxt1(fmt) else "dxt5",
+            fused_ok=(self._quality == "reference"
+                      and not needs_red_and_blue_swapped(fmt)),
+        )
 
     def pad(self, image, padded_height, padded_width, padded_image) -> bool:
         if not self.is_valid_compressed_image(image) or padded_image is None:

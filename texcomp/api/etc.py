@@ -194,41 +194,11 @@ class EtcCompressor(Compressor):
         repeated :meth:`downsample`; on TPU (reference quality, /8-aligned
         extents) the clean prefix runs as one fused device program (see
         texcomp/ops/mipmap.py and DxtcCompressor.downsample_chain)."""
-        if not self.is_valid_compressed_image(image):
-            return []
-        from texcomp.ops import use_pallas
-
-        md = image.get_metadata()
-        h, w = md.uncompressed_height, md.uncompressed_width
-        results: list[CompressedImage] = []
-
-        fused = 0
-        if (use_pallas() and self._quality == "reference"
-                and h % 4 == 0 and w % 4 == 0):
-            from texcomp.ops.mipmap import mipmap_chain, num_chain_levels
-
-            fused = num_chain_levels(h, w)
-            if levels is not None:
-                fused = min(fused, levels)
-        if fused > 0:
-            data = jnp.asarray(np.ascontiguousarray(
-                image.get_data()).reshape(-1, _BLOCK_SIZE))
-            payloads = mipmap_chain(
-                data, height=h, width=w, codec="etc1", levels=fused,
-                strategy=self._strategy)
-            lh, lw = h, w
-            for p in payloads:
-                lh //= 2
-                lw //= 2
-                ci = CompressedImage()
-                if not h4.setup_compressed_image(
-                        ci, self.name, _BLOCK_SIZE, md.format, lh, lw, 0):
-                    return results
-                ci.get_mutable_data()[:] = np.asarray(p).reshape(-1)
-                results.append(ci)
-
-        return h4.downsample_chain_tail(
-            self, results[-1] if results else image, results, levels)
+        return h4.downsample_chain(
+            self, image, levels,
+            block_size=_BLOCK_SIZE, codec="etc1", strategy=self._strategy,
+            fused_ok=(self._quality == "reference"),
+        )
 
     def pad(self, image, padded_height, padded_width, padded_image) -> bool:
         if not self.is_valid_compressed_image(image) or padded_image is None:

@@ -87,6 +87,50 @@ def downsample_chain_tail(compressor, cur: CompressedImage,
     return results
 
 
+def downsample_chain(compressor, image: CompressedImage, levels: int | None,
+                     *, block_size: int, codec: str, strategy: int = 2,
+                     fused_ok: bool = True) -> list:
+    """Shared mipmap-chain driver (DxtcCompressor / EtcCompressor
+    ``downsample_chain`` extensions): run the clean chain prefix as ONE
+    fused device program (texcomp/ops/mipmap.py) when the backend and
+    ``fused_ok`` gate allow it, then finish with per-level downsample."""
+    if not compressor.is_valid_compressed_image(image):
+        return []
+    from texcomp.ops import use_pallas
+
+    md = image.get_metadata()
+    h, w = md.uncompressed_height, md.uncompressed_width
+    results: list[CompressedImage] = []
+
+    fused = 0
+    if fused_ok and use_pallas() and h % 4 == 0 and w % 4 == 0:
+        from texcomp.ops.mipmap import mipmap_chain, num_chain_levels
+
+        fused = num_chain_levels(h, w)
+        if levels is not None:
+            fused = min(fused, levels)
+    if fused > 0:
+        import jax.numpy as jnp
+
+        data = jnp.asarray(
+            np.ascontiguousarray(image.get_data()).reshape(-1, block_size))
+        payloads = mipmap_chain(data, height=h, width=w, codec=codec,
+                                levels=fused, strategy=strategy)
+        lh, lw = h, w
+        for p in payloads:
+            lh //= 2
+            lw //= 2
+            ci = CompressedImage()
+            if not setup_compressed_image(
+                    ci, compressor.name, block_size, md.format, lh, lw, 0):
+                return results
+            ci.get_mutable_data()[:] = np.asarray(p).reshape(-1)
+            results.append(ci)
+
+    return downsample_chain_tail(
+        compressor, results[-1] if results else image, results, levels)
+
+
 def buffer_to_image_array(
     buffer, height: int, width: int, components: int, padding_bytes_per_row: int
 ) -> np.ndarray:

@@ -96,12 +96,12 @@ def encode_atlas_sharded(image: jax.Array, mesh: Mesh, codec: str = "dxt1",
     from texcomp.ops import (dxt1_encode_image_op, dxt5_encode_image_op,
                              etc1_encode_image_op)
 
-    ndev = int(np.prod(mesh.devices.shape))
+    ndata = int(mesh.shape["data"])  # rows split over "data" only
     h = image.shape[0]
-    if h % (4 * ndev) != 0:
+    if h % (4 * ndata) != 0:
         raise ValueError(
             f"atlas rows ({h}) must split into 4-row multiples across "
-            f"{ndev} devices (need a multiple of {4 * ndev})")
+            f"{ndata} 'data' shards (need a multiple of {4 * ndata})")
     ops = {
         "dxt1": dxt1_encode_image_op,
         "dxt5": dxt5_encode_image_op,

@@ -80,11 +80,7 @@ def mipmap_chain(data: jax.Array, *, height: int, width: int, codec: str,
         if codec == "dxt1":
             cur = dxt_pallas.dxt1_encode_image(avg, interpret=interpret)
         elif codec == "dxt5":
-            words = dxt_pallas.pack_rgba_image(avg)
-            flag = jnp.zeros((1, words.shape[1]), dtype=jnp.uint32)
-            cur = dxt_pallas.encode_dxt5_packed(
-                jnp.concatenate([words, flag], axis=0),
-                interpret=interpret).T
+            cur = dxt_pallas.dxt5_encode_image(avg, interpret=interpret)
         else:
             cur = etc_pallas.etc1_encode_image(avg, strategy,
                                                interpret=interpret)

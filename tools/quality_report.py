@@ -101,7 +101,8 @@ def oracle_bytes(img: np.ndarray, codec: str):
             img = np.concatenate([img, np.full((h, w, 1), 255, np.uint8)], -1)
         name = {"dxt1": "dxtc", "dxt5": "dxtc", "etc1": "etc"}[codec]
         fmt = 0 if img.shape[2] == 3 else 2
-        return bytes(o.compress(name, fmt, h, w, 0, img))
+        payload, _, _ = o.compress(name, fmt, h, w, 0, img.tobytes())
+        return bytes(payload)
     except Exception:
         return None
 
@@ -117,7 +118,8 @@ def main() -> int:
         return 1
 
     rows = []
-    parity_ok = True
+    parity_checks = 0
+    parity_fails = 0
     for name, img in sorted(images.items()):
         row = {"image": f"{name} ({img.shape[0]}x{img.shape[1]})"}
         for codec in ("dxt1", "dxt5", "etc1"):  # pvrtc: square crops below
@@ -125,12 +127,15 @@ def main() -> int:
             row[f"{codec}_ref"] = psnr(dec_ref, img[..., :3])
             if codec in ("dxt1", "dxt5"):
                 ob = oracle_bytes(img, codec)
-                if ob is not None and ob != payload:
-                    parity_ok = False
+                if ob is not None:
+                    parity_checks += 1
+                    if ob != payload:
+                        parity_fails += 1
                 dec_hq, _ = roundtrip(img, codec, "high")
                 row[f"{codec}_hq"] = psnr(dec_hq, img[..., :3])
         rows.append(row)
         print(row)
+    parity_ok = parity_checks > 0 and parity_fails == 0
 
     # square-power-of-two crops for PVRTC (it rejects other sizes)
     pv_rows = []
@@ -150,12 +155,16 @@ def main() -> int:
         "(this environment has no network); same 8-bit photographic",
         "statistics.",
         "",
-        "**Reference-mode parity**: payload bytes "
-        + ("**verified byte-identical** to the C++ oracle for every "
-           "image/codec below — reference-mode PSNR *is* the reference "
-           "library's PSNR."
+        "**Reference-mode parity**: "
+        + (f"payload bytes **verified byte-identical** to the C++ oracle "
+           f"({parity_checks} image/codec comparisons) — reference-mode "
+           f"PSNR *is* the reference library's PSNR."
            if parity_ok else
-           "MISMATCH DETECTED — investigate before trusting these numbers."),
+           ("NOT VERIFIED in this run (oracle unavailable — regenerate "
+            "where /root/reference and g++ exist)."
+            if parity_checks == 0 else
+            f"MISMATCH DETECTED on {parity_fails}/{parity_checks} "
+            "comparisons — investigate before trusting these numbers.")),
         "",
         "## DXT1 / DXT5 / ETC1 (full images)",
         "",
@@ -183,7 +192,8 @@ def main() -> int:
     ] + [f"| {n} | {p:.2f} |" for n, p in pv_rows] + [""]
 
     Path(args.out).write_text("\n".join(lines))
-    print(f"wrote {args.out}; parity_ok={parity_ok}")
+    print(f"wrote {args.out}; parity checks={parity_checks} "
+          f"fails={parity_fails}")
     return 0 if parity_ok else 1
 
 
