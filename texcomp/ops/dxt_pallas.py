@@ -142,9 +142,10 @@ def _best_const_colors_kernel(lut_t_ref, target, always4: bool):
     return which, c0, c1
 
 
-def _dxt1_core(lut_t_ref, r, g, b, always4: bool, swap: bool):
-    """Shared DXT1 encode body on (16, T) int32 channel planes. Returns
-    (c0_16, c1_16, row0..row3) each (1, T) int32."""
+def _dxt1_general(r, g, b):
+    """The always-on half of the DXT1 encode on (16, T) planes: min/max
+    luminance endpoints + 4-palette nearest indices. Returns
+    (is_const, blo, c0, c1, rows) — c0/c1/rows valid where ~is_const."""
     lum = _lum(r, g, b)
     lo_l = jnp.min(lum, axis=0, keepdims=True)
     hi_l = jnp.max(lum, axis=0, keepdims=True)
@@ -157,12 +158,7 @@ def _dxt1_core(lut_t_ref, r, g, b, always4: bool, swap: bool):
     hi16 = _pack16(*qhi)
     is_const = lo16 == hi16
 
-    # Constant-color path; double-swap back for BGR (see codecs/dxt.py).
-    tgt = (blo[2], blo[1], blo[0]) if swap else tuple(blo)
-    c_which, c_c0, c_c1 = _best_const_colors_kernel(lut_t_ref, tgt, always4)
-    c_row = c_which * 0x55
-
-    # General path: order endpoints, 4-palette nearest by squared luminance.
+    # Order endpoints, 4-palette nearest by squared luminance.
     do_swap = lo16 < hi16
     b0 = [jnp.where(do_swap, h, l) for l, h in zip(blo, bhi)]
     b1 = [jnp.where(do_swap, l, h) for l, h in zip(blo, bhi)]
@@ -184,15 +180,37 @@ def _dxt1_core(lut_t_ref, r, g, b, always4: bool, swap: bool):
 
     rows = []
     for y in range(4):
-        byte = (which[4 * y][None, :]
-                | (which[4 * y + 1][None, :] << 2)
-                | (which[4 * y + 2][None, :] << 4)
-                | (which[4 * y + 3][None, :] << 6))
-        rows.append(jnp.where(is_const, c_row, byte))
+        rows.append(which[4 * y][None, :]
+                    | (which[4 * y + 1][None, :] << 2)
+                    | (which[4 * y + 2][None, :] << 4)
+                    | (which[4 * y + 3][None, :] << 6))
+    return is_const, blo, g_c0, g_c1, rows
 
-    c0 = jnp.where(is_const, c_c0, g_c0)
-    c1 = jnp.where(is_const, c_c1, g_c1)
+
+def _dxt1_const_merge(lut_t_ref, is_const, blo, c0, c1, rows,
+                      always4: bool, swap: bool):
+    """The constant-color half (GetBestDxtcConstColors), merged over the
+    general result where is_const. Only called when some lane needs it —
+    the caller predicates on jnp.any(is_const) (pl.when), which skips
+    ~45% of the kernel for photographic/noise content where quantized
+    endpoint collisions are rare."""
+    # Double-swap back for BGR (see codecs/dxt.py).
+    tgt = (blo[2], blo[1], blo[0]) if swap else tuple(blo)
+    c_which, c_c0, c_c1 = _best_const_colors_kernel(lut_t_ref, tgt, always4)
+    c_row = c_which * 0x55
+    c0 = jnp.where(is_const, c_c0, c0)
+    c1 = jnp.where(is_const, c_c1, c1)
+    rows = [jnp.where(is_const, c_row, row) for row in rows]
     return c0, c1, rows
+
+
+def _dxt1_core(lut_t_ref, r, g, b, always4: bool, swap: bool):
+    """Shared DXT1 encode body on (16, T) int32 channel planes. Returns
+    (c0_16, c1_16, row0..row3) each (1, T) int32. (Unpredicated form, used
+    by the DXT5 kernel where the color half shares its tile with alpha.)"""
+    is_const, blo, c0, c1, rows = _dxt1_general(r, g, b)
+    return _dxt1_const_merge(lut_t_ref, is_const, blo, c0, c1, rows,
+                             always4, swap)
 
 
 def _unpack_channels(words, n: int):
@@ -204,13 +222,25 @@ def _unpack_channels(words, n: int):
     return out
 
 
+def _dxt1_bytes_out(c0, c1, rows):
+    return jnp.concatenate(
+        [c0 & 255, c0 >> 8, c1 & 255, c1 >> 8, *rows], axis=0
+    ).astype(jnp.uint8)
+
+
 def _dxt1_kernel(lut_t_ref, px_ref, out_ref, *, always4, swap):
     r, g, b = _unpack_channels(px_ref[:], 3)
-    c0, c1, rows = _dxt1_core(lut_t_ref, r, g, b, always4, swap)
-    out = jnp.concatenate(
-        [c0 & 255, c0 >> 8, c1 & 255, c1 >> 8, *rows], axis=0
-    )
-    out_ref[:] = out.astype(jnp.uint8)
+    is_const, blo, c0, c1, rows = _dxt1_general(r, g, b)
+    out_ref[:] = _dxt1_bytes_out(c0, c1, rows)
+
+    # The const-color LUT path runs only when some block in this tile has
+    # colliding quantized endpoints (bit-exact: the merge overwrites the
+    # general bytes exactly where is_const).
+    @pl.when(jnp.any(is_const))
+    def _const_path():
+        mc0, mc1, mrows = _dxt1_const_merge(
+            lut_t_ref, is_const, blo, c0, c1, rows, always4, swap)
+        out_ref[:] = _dxt1_bytes_out(mc0, mc1, mrows)
 
 
 def _alpha_codes(a):
@@ -276,16 +306,25 @@ def _dxt5_kernel(lut_t_ref, px_ref, out_ref, *, swap):
         half0 = half0 | (code[i][None, :] << (3 * i))
         half1 = half1 | (code[8 + i][None, :] << (3 * i))
 
-    c0, c1, rows = _dxt1_core(lut_t_ref, r[:16], g[:16], b[:16],
-                              always4=True, swap=swap)
-    out = jnp.concatenate(
-        [a0, a1,
-         half0 & 255, (half0 >> 8) & 255, (half0 >> 16) & 255,
-         half1 & 255, (half1 >> 8) & 255, (half1 >> 16) & 255,
-         c0 & 255, c0 >> 8, c1 & 255, c1 >> 8, *rows],
-        axis=0,
-    )
-    out_ref[:] = out.astype(jnp.uint8)
+    is_const, blo, c0, c1, rows = _dxt1_general(r[:16], g[:16], b[:16])
+
+    def emit(c0, c1, rows):
+        out = jnp.concatenate(
+            [a0, a1,
+             half0 & 255, (half0 >> 8) & 255, (half0 >> 16) & 255,
+             half1 & 255, (half1 >> 8) & 255, (half1 >> 16) & 255,
+             c0 & 255, c0 >> 8, c1 & 255, c1 >> 8, *rows],
+            axis=0,
+        )
+        return out.astype(jnp.uint8)
+
+    out_ref[:] = emit(c0, c1, rows)
+
+    @pl.when(jnp.any(is_const))
+    def _const_path():
+        mc0, mc1, mrows = _dxt1_const_merge(
+            lut_t_ref, is_const, blo, c0, c1, rows, always4=True, swap=swap)
+        out_ref[:] = emit(mc0, mc1, mrows)
 
 
 def _lut_t_bf16() -> jax.Array:
