@@ -33,7 +33,7 @@ def device_trace(logdir: str = "/tmp/texcomp_trace"):
         jax.profiler.stop_trace()
 
 
-def time_op(op, arg, *, iters: int = 9, reps: int = 4) -> float:
+def time_op(op, arg, *, iters: int = 9, reps: int = 6) -> float:
     """Honest per-call seconds for ``op(arg) -> array``.
 
     Remote-tunneled platforms (and async dispatch generally) can make
