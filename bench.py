@@ -80,14 +80,14 @@ def bench_etc1_encode(h: int = 2048, w: int = 2048) -> float:
     return (h * w) / dt / 1e6
 
 
-def bench_pvrtc_encode(h: int = 1024, w: int = 1024) -> float:
+def bench_pvrtc_encode(h: int = 2048, w: int = 2048) -> float:
     from texcomp.ops import pvrtc_encode_image_op
 
     dt = _time_op(pvrtc_encode_image_op, _rand_image(h, w, 4))
     return (h * w) / dt / 1e6
 
 
-def bench_mipmap_chain(size: int = 1024) -> float:
+def bench_mipmap_chain(size: int = 2048) -> float:
     """Full DXT5 mipmap chain from a size^2 level-0 payload — BASELINE
     config 2's workload — as ONE fused device program. Throughput counts
     the pixels decoded across all levels."""
@@ -109,7 +109,7 @@ def bench_mipmap_chain(size: int = 1024) -> float:
     return src_pixels / dt / 1e6
 
 
-def bench_transcode(h: int = 2048, w: int = 2048) -> float:
+def bench_transcode(h: int = 4096, w: int = 4096) -> float:
     """DXT1 -> ETC1 in-place transcode (fused device decode -> heuristic
     re-encode, dxtc_to_etc_transcoder.cc:29-40)."""
     from texcomp.ops import dxt_pallas, etc_pallas
