@@ -80,6 +80,24 @@ def test_cli_decode_strips_row_padding(rng, tmp_path):
     np.testing.assert_array_equal(dec, np.load(tmp_path / "dec0.npy"))
 
 
+def test_cli_mipmap(rng, tmp_path, capsys):
+    img = make_test_image(rng, 32, 16, 3)
+    np.save(tmp_path / "img.npy", img)
+    archive = str(tmp_path / "m.txc")
+    assert main(["encode", "--codec", "dxt1", "--input",
+                 str(tmp_path / "img.npy"), "--archive", archive]) == 0
+    assert main(["mipmap", "--archive", archive, "--name", "img",
+                 "--levels", "3"]) == 0
+    assert main(["info", "--archive", archive]) == 0
+    out = capsys.readouterr().out
+    for lvl, size in ((1, "16x8"), (2, "8x4"), (3, "4x2")):
+        assert f"img_mip{lvl}: dxtc RGB {size}" in out
+    assert main(["decode", "--archive", archive, "--name", "img_mip2",
+                 "--output", str(tmp_path / "m2.npy")]) == 0
+    assert np.load(tmp_path / "m2.npy").shape == (8, 4, 3)
+    assert main(["mipmap", "--archive", archive, "--name", "zz"]) == 1
+
+
 def test_cli_rejects_bad_input(rng, tmp_path):
     img = make_test_image(rng, 16, 16, 4)
     np.save(tmp_path / "img4.npy", img)

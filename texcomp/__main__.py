@@ -150,6 +150,32 @@ def cmd_transcode(args) -> int:
     return 0
 
 
+def cmd_mipmap(args) -> int:
+    textures = load_archive(args.archive)
+    if args.name not in textures:
+        print(f"error: {args.name!r} not in archive "
+              f"(has: {sorted(textures)})", file=sys.stderr)
+        return 1
+    ci = textures[args.name]
+    comp = _compressor_for(ci)
+    if not hasattr(comp, "downsample_chain"):
+        print(f"error: {ci.get_metadata().compressor_name} does not "
+              "support mipmap chains", file=sys.stderr)
+        return 1
+    chain = comp.downsample_chain(ci, args.levels)
+    if not chain:
+        print("error: downsample failed (check size constraints)",
+              file=sys.stderr)
+        return 1
+    for i, mip in enumerate(chain, start=1):
+        textures[f"{args.name}_mip{i}"] = mip
+    save_archive(args.archive, textures)
+    md = chain[-1].get_metadata()
+    print(f"{args.name}: {len(chain)} mip levels (down to "
+          f"{md.uncompressed_height}x{md.uncompressed_width})")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="texcomp", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -180,6 +206,14 @@ def main(argv=None) -> int:
     t.add_argument("--archive", required=True)
     t.add_argument("--name", required=True)
     t.set_defaults(fn=cmd_transcode)
+
+    m = sub.add_parser("mipmap",
+                       help="add a mipmap chain for a texture to the archive")
+    m.add_argument("--archive", required=True)
+    m.add_argument("--name", required=True)
+    m.add_argument("--levels", type=int, default=None,
+                   help="number of levels (default: all the way to 1x1)")
+    m.set_defaults(fn=cmd_mipmap)
 
     args = p.parse_args(argv)
     return args.fn(args)

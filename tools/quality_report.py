@@ -73,7 +73,7 @@ def roundtrip(img: np.ndarray, codec: str, quality: str) -> tuple[np.ndarray, by
     fmt = Format.RGB if c == 3 else Format.RGBA
     comp = {"dxt1": lambda: DxtcCompressor(quality=quality),
             "dxt5": lambda: DxtcCompressor(quality=quality),
-            "etc1": lambda: EtcCompressor(),
+            "etc1": lambda: EtcCompressor(quality=quality),
             "pvrtc": lambda: PvrtcCompressor()}[codec]()
     ci = CompressedImage()
     if not comp.compress(fmt, h, w, 0, img.tobytes(), ci):
@@ -131,8 +131,8 @@ def main() -> int:
                     parity_checks += 1
                     if ob != payload:
                         parity_fails += 1
-                dec_hq, _ = roundtrip(img, codec, "high")
-                row[f"{codec}_hq"] = psnr(dec_hq, img[..., :3])
+            dec_hq, _ = roundtrip(img, codec, "high")
+            row[f"{codec}_hq"] = psnr(dec_hq, img[..., :3])
         rows.append(row)
         print(row)
     parity_ok = parity_checks > 0 and parity_fails == 0
@@ -168,16 +168,19 @@ def main() -> int:
         "",
         "## DXT1 / DXT5 / ETC1 (full images)",
         "",
-        "| image | DXT1 ref | DXT1 HQ | gain | DXT5 ref | DXT5 HQ | gain | ETC1 |",
-        "|---|---|---|---|---|---|---|---|",
+        "| image | DXT1 ref | DXT1 HQ | gain | DXT5 ref | DXT5 HQ | gain "
+        "| ETC1 ref | ETC1 HQ | gain |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         d1g = r["dxt1_hq"] - r["dxt1_ref"]
         d5g = r["dxt5_hq"] - r["dxt5_ref"]
+        eg = r["etc1_hq"] - r["etc1_ref"]
         lines.append(
             f"| {r['image']} | {r['dxt1_ref']:.2f} | {r['dxt1_hq']:.2f} | "
             f"**+{d1g:.2f}** | {r['dxt5_ref']:.2f} | {r['dxt5_hq']:.2f} | "
-            f"**+{d5g:.2f}** | {r['etc1_ref']:.2f} |"
+            f"**+{d5g:.2f}** | {r['etc1_ref']:.2f} | {r['etc1_hq']:.2f} | "
+            f"+{eg:.2f} |"
         )
     lines += [
         "",
