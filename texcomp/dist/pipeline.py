@@ -18,15 +18,14 @@ Works identically on a single chip (mesh of 1) and on a virtual CPU mesh
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from texcomp.api.container import CompressedImage, Format, Metadata
 from texcomp.blocks import image_to_blocks, num_blocks

@@ -20,7 +20,7 @@ Everything is plain XLA; it fuses into a handful of full-width VPU loops.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ Format (little-endian):
 
 from __future__ import annotations
 
-import io
 import struct
 
 import numpy as np
