@@ -41,11 +41,6 @@ HEURISTIC = 3
 
 _U32 = jnp.uint32
 
-# Row-major pixel position helpers (pixel p = y*4 + x).
-_PX = np.array([p % 4 for p in range(16)], dtype=np.int32)
-_PY = np.array([p // 4 for p in range(16)], dtype=np.int32)
-# ETC bit position for pixel p: x*4 + y (etc_compressor.cc:131-137).
-_P_ETC = np.array([(p % 4) * 4 + (p // 4) for p in range(16)], dtype=np.int32)
 
 
 def _clamp8(v):
@@ -57,12 +52,6 @@ def _clamp8(v):
 # right columns. flip=True subblocks are already contiguous (y < 2 -> rows
 # 0-7). Applied once in XLA before the kernel (see encode_etc1_packed).
 _PERM_F = [0, 1, 4, 5, 8, 9, 12, 13, 2, 3, 6, 7, 10, 11, 14, 15]
-
-
-def _group_pos(flip: bool, p: int) -> tuple[int, int]:
-    """Pixel p's (subblock, row-within-group) in the grouped layout."""
-    pos = p if flip else _PERM_F.index(p)
-    return pos // 8, pos % 8
 
 
 def _codeword_select(cw, table_col):
@@ -189,18 +178,30 @@ def _encode_flip(rgb_nat, rgb_perm, flip: bool, strategy: int):
     cw1, e1, mod1 = _subblock_search(g1, dec1, heuristic)
     cw2, e2, mod2 = _subblock_search(g2, dec2, heuristic)
     err = None if heuristic else e1 + e2
-    mods = (mod1.astype(_U32), mod2.astype(_U32))  # (8, T) each
 
-    # lo word: bit p_etc = mod&1, bit p_etc+16 = mod>>1.
+    # lo word: bit p_etc = mod&1, bit p_etc+16 = mod>>1, assembled with
+    # per-row iota shifts + disjoint-bit sums (16 per-row extracts each
+    # cost a sublane relayout; this is 4 dense (8, T) ops per group).
+    # Row r of group g holds pixel p: flip=True -> p = 8g + r, so
+    # p_etc = (p%4)*4 + p//4 = 4*(r%4) + 2g + r//4; flip=False (_PERM_F
+    # order) -> p = 4*(r//2) + r%2 + 2g, so p_etc = 4*(r%2) + 8g + r//2.
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     lo = None
-    for p in range(16):
-        g, row = _group_pos(flip, p)
-        mu = mods[g][row]
-        bits = ((mu & _U32(1)) << _P_ETC[p]) | (
-            ((mu >> 1) & _U32(1)) << (_P_ETC[p] + 16)
-        )
-        lo = bits if lo is None else (lo | bits)
-    lo = lo[None, :]
+    for g, modg in ((0, mod1), (1, mod2)):
+        if flip:
+            shift = 4 * (r_i % 4) + 2 * g + r_i // 4
+        else:
+            shift = 4 * (r_i % 2) + 8 * g + r_i // 2
+        shift = shift.astype(_U32)
+        modu = modg.astype(_U32)
+        bits = ((modu & _U32(1)) << shift) | (
+            ((modu >> 1) & _U32(1)) << (shift + _U32(16)))
+        # OR-tree over the 8 rows via aligned slices (Mosaic has no
+        # unsigned reductions).
+        q = bits[0:4] | bits[4:8]
+        q = q[0:2] | q[2:4]
+        part = q[0:1] | q[1:2]
+        lo = part if lo is None else (lo | part)
 
     fld = lambda v, start, nbits: (v.astype(_U32) & _U32((1 << nbits) - 1)) << start
     hi = jnp.full_like(lo, _U32(1 if flip else 0))
