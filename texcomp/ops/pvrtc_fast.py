@@ -101,16 +101,31 @@ def _zorder_words(w2: jax.Array, nbx: int, nby: int) -> jax.Array:
     return out.reshape(c, n)
 
 
-def _to_block_planes(image: jax.Array):
-    """(H, W, 4) uint8 -> (32, NB) int32 per channel, sublane = py*8+px,
-    lanes in row-major block order."""
+def _to_block_words(image: jax.Array) -> jax.Array:
+    """(H, W, 4) uint8 -> (32, NB) uint32 packed pixels, sublane =
+    py*8+px, lanes in row-major block order."""
     h, w = image.shape[0], image.shape[1]
     px = jax.lax.bitcast_convert_type(image, jnp.uint32)  # (H, W)
     t = px.reshape(h // BLOCK_H, BLOCK_H, w).transpose(1, 0, 2)
     t = t.reshape(BLOCK_H, h // BLOCK_H, w // BLOCK_W, BLOCK_W)
-    t = t.transpose(0, 3, 1, 2).reshape(32, -1)  # (py*8+px, NB)
-    t = t.astype(jnp.int32)
+    return t.transpose(0, 3, 1, 2).reshape(32, -1)  # (py*8+px, NB)
+
+
+def _unpack4(words: jax.Array):
+    """(..., NB) uint32 -> 4 int32 channel planes (r, g, b, a)."""
+    t = words.astype(jnp.int32)
     return [(t >> (8 * c)) & 255 for c in range(4)]
+
+
+def _pack4(ch4):
+    """Inverse of _unpack4 for 0-255 channel values."""
+    r, g, b, a = [c.astype(_U32) for c in ch4]
+    return r | (g << 8) | (b << 16) | (a << 24)
+
+
+def _to_block_planes(image: jax.Array):
+    """(H, W, 4) uint8 -> (32, NB) int32 per channel (see _to_block_words)."""
+    return _unpack4(_to_block_words(image))
 
 
 def _first_min(f, channels):
@@ -352,13 +367,20 @@ def encode_pvrtc_2bpp_fast(image: jax.Array) -> jax.Array:
     nby, nbx = h // BLOCK_H, w // BLOCK_W
     barrier = jax.lax.optimization_barrier
 
-    planes = barrier(_to_block_planes(image))
-    a, b = _morph_planes(planes, image)
+    # Everything crossing a barrier is kept PACKED uint32 (one word per
+    # pixel, not 4 int32 planes): barriers force materialization, and at
+    # 4096^2 the unpacked planes alone are ~270 MB of HBM traffic per
+    # stage; re-unpacking with shifts on the consumer side is ALU-cheap.
+    words32 = barrier(_to_block_words(image))
+    a, b = _morph_planes(_unpack4(words32), image)
     a = barrier(a)
     b = barrier(b)
-    a_up = barrier([_upscale_planes(c, nby, nbx) for c in a])
-    b_up = barrier([_upscale_planes(c, nby, nbx) for c in b])
-    mod = barrier(_modulate_planes(planes, a_up, b_up))
+    ab_up = barrier((
+        _pack4([_upscale_planes(c, nby, nbx) for c in a]),
+        _pack4([_upscale_planes(c, nby, nbx) for c in b]),
+    ))
+    mod = barrier(_modulate_planes(
+        _unpack4(words32), _unpack4(ab_up[0]), _unpack4(ab_up[1])))
 
     modes = barrier(_modes_planes(mod, nby, nbx))
     mod_words = _pack_modulation(mod, modes)[0]
