@@ -98,15 +98,13 @@ def _upscale4(low_ch, nb: int):
     yw = (py + 2) & 3
 
     def corner2(dy_pair, dx_pair):
+        # Nested selects (quadrant masks partition) — see
+        # ops/pvrtc_fast._upscale_planes.
         dy_t, dy_b = dy_pair
         dx_l, dx_r = dx_pair
-        out = 0
-        for tcase, dy in ((True, dy_t), (False, dy_b)):
-            for lcase, dx in ((True, dx_l), (False, dx_r)):
-                m = (top_prev if tcase else ~top_prev) & (
-                    left_prev if lcase else ~left_prev)
-                out = out + jnp.where(m, var[(dy, dx)], 0)
-        return out
+        top = jnp.where(left_prev, var[(dy_t, dx_l)], var[(dy_t, dx_r)])
+        bot = jnp.where(left_prev, var[(dy_b, dx_l)], var[(dy_b, dx_r)])
+        return jnp.where(top_prev, top, bot)
 
     c00 = corner2((1, 0), (1, 0))
     c01 = corner2((1, 0), (0, -1))
@@ -141,17 +139,26 @@ def encode_pvrtc_4bpp_device(image: jax.Array) -> jax.Array:
     """(H, W, 4) uint8 (square power-of-two, >= 4) -> (NB, 8) uint8 Z-order
     4bpp records: 32-bit modulation word (2 bits/pixel, pixel (y, x) at bit
     2*(y*4+x)) then the 32-bit color word, both little-endian."""
+    from texcomp.ops.dxt_pallas import _block_transpose_u32
+    from texcomp.ops.pvrtc_fast import _pack4, _unpack4
+
     h, w = image.shape[0], image.shape[1]
     nb = h // BLOCK
     barrier = jax.lax.optimization_barrier
 
-    planes = barrier(_to_block_planes16(image))
-    a, b = _morph4(planes, image)
+    # Barrier-crossing tensors stay packed uint32 (see pvrtc_fast:
+    # barriers materialize, and unpacked planes are 4x the HBM traffic).
+    words16 = barrier(_block_transpose_u32(
+        jax.lax.bitcast_convert_type(image, jnp.uint32)))
+    a, b = _morph4(_unpack4(words16), image)
     a = barrier(a)
     b = barrier(b)
-    a_up = barrier([_upscale4(c, nb) for c in a])
-    b_up = barrier([_upscale4(c, nb) for c in b])
-    mod = barrier(_modulate4(planes, a_up, b_up))
+    ab_up = barrier((
+        _pack4([_upscale4(c, nb) for c in a]),
+        _pack4([_upscale4(c, nb) for c in b]),
+    ))
+    mod = barrier(_modulate4(
+        _unpack4(words16), _unpack4(ab_up[0]), _unpack4(ab_up[1])))
 
     s = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
     mod_words = jnp.bitwise_or.reduce(
