@@ -21,10 +21,23 @@ def test_virtual_mesh_available():
     _need_devices(8)
 
 
-@pytest.mark.parametrize("ndev", [1, 2, 8])
+@pytest.mark.parametrize("ndev", [1, 2, 3, 5, 8])
 def test_training_step_multichip(ndev):
     _need_devices(ndev)
     training_step_multichip(ndev)
+
+
+def test_training_step_degrades_to_available_devices():
+    """Asking for more devices than exist runs on what's available
+    instead of crashing (VERDICT r1 item 2)."""
+    training_step_multichip(2 * len(jax.devices()))
+
+
+def test_make_mesh_rejects_oversubscription():
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(len(jax.devices()) + 1, data=len(jax.devices()) + 1)
+    with pytest.raises(ValueError, match="positive"):
+        make_mesh(4, data=0, block=1)
 
 
 @pytest.mark.parametrize("codec", ["dxt1", "dxt5", "etc1"])
