@@ -115,3 +115,38 @@ def test_fuzz_differential(trial, oracle):
                                              strategy=strategy)
         np.testing.assert_array_equal(mine.get_data(), refc,
                                       err_msg=f"compress_and_pad {ph}x{pw}")
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_decode_arbitrary_payloads(trial, oracle):
+    """Decode parity on RANDOM payload bytes (not encoder output): the
+    reference decodes arbitrary block words, and several decode quirks
+    (Extend5Bit's replicated-bit masking for out-of-range ETC differential
+    sums, DXT1's c0 == c1 degenerate palette) only trigger on payloads a
+    conforming encoder never emits."""
+    rng = np.random.default_rng(77_000 + trial)
+    use_etc = trial % 2 == 1
+    fmt = Format.RGB if use_etc else [Format.RGB, Format.RGBA][trial % 2]
+    comps = _FMT_COMPONENTS[fmt]
+    h = int(rng.integers(1, 40))
+    w = int(rng.integers(1, 40))
+    ch, cw = 4 * ((h + 3) // 4), 4 * ((w + 3) // 4)
+    block_bytes = 8 if (use_etc or comps == 3) else 16
+    payload = rng.integers(
+        0, 256, (ch // 4) * (cw // 4) * block_bytes, dtype=np.uint8)
+
+    comp = EtcCompressor() if use_etc else DxtcCompressor()
+    name = "etc" if use_etc else "dxtc"
+    ci = CompressedImage()
+    from texcomp.api.container import Metadata
+
+    ci.create_owned_data(
+        Metadata(fmt, name, h, w, ch, cw, 0), payload.size)
+    ci.get_mutable_data()[:] = payload
+
+    out = bytearray()
+    assert comp.decompress(ci, out)
+    ref = oracle.decompress(name, fmt, h, w, ch, cw, 0, payload, comps)
+    np.testing.assert_array_equal(
+        np.frombuffer(bytes(out), np.uint8), ref,
+        err_msg=f"{name} {h}x{w} random payload")
