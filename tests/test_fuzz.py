@@ -126,7 +126,8 @@ def test_fuzz_decode_arbitrary_payloads(trial, oracle):
     conforming encoder never emits."""
     rng = np.random.default_rng(77_000 + trial)
     use_etc = trial % 2 == 1
-    fmt = Format.RGB if use_etc else [Format.RGB, Format.RGBA][trial % 2]
+    fmt = (Format.RGB if use_etc
+           else [Format.RGB, Format.RGBA][(trial // 2) % 2])
     comps = _FMT_COMPONENTS[fmt]
     h = int(rng.integers(1, 40))
     w = int(rng.integers(1, 40))

@@ -38,15 +38,6 @@ _U32 = jnp.uint32
 BLOCK = 4  # 4x4 blocks, 2 bits/pixel modulation + 64-bit record = 4 bpp
 
 
-def _to_block_planes16(image: jax.Array):
-    """(H, W, 4) uint8 -> 4 channels of (16, NB) int32 (dxt-style layout)."""
-    from texcomp.ops.dxt_pallas import _block_transpose_u32
-
-    px = jax.lax.bitcast_convert_type(image, jnp.uint32)
-    t = _block_transpose_u32(px).astype(jnp.int32)  # (16, NB), y*4+x order
-    return [(t >> (8 * c)) & 255 for c in range(4)]
-
-
 def _morph4(planes, image):
     """Per-4x4-block extremes -> reduced A/B, mirroring GetExtremesFast
     (pvrtc_compressor.cc:255-329) incl. the all-zero-axis quirk."""

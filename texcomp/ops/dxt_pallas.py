@@ -204,15 +204,6 @@ def _dxt1_const_merge(lut_t_ref, is_const, blo, c0, c1, rows,
     return c0, c1, rows
 
 
-def _dxt1_core(lut_t_ref, r, g, b, always4: bool, swap: bool):
-    """Shared DXT1 encode body on (16, T) int32 channel planes. Returns
-    (c0_16, c1_16, row0..row3) each (1, T) int32. (Unpredicated form, used
-    by the DXT5 kernel where the color half shares its tile with alpha.)"""
-    is_const, blo, c0, c1, rows = _dxt1_general(r, g, b)
-    return _dxt1_const_merge(lut_t_ref, is_const, blo, c0, c1, rows,
-                             always4, swap)
-
-
 def _unpack_channels(words, n: int):
     """(S, T) uint32 packed pixels -> n int32 channel planes."""
     w = words.astype(jnp.int32)

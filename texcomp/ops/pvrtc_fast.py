@@ -123,11 +123,6 @@ def _pack4(ch4):
     return r | (g << 8) | (b << 16) | (a << 24)
 
 
-def _to_block_planes(image: jax.Array):
-    """(H, W, 4) uint8 -> (32, NB) int32 per channel (see _to_block_words)."""
-    return _unpack4(_to_block_words(image))
-
-
 def _first_min(f, channels):
     """First-occurrence argmin over sublanes; returns channel picks (1, NB)."""
     fmin = jnp.min(f, axis=0, keepdims=True)
