@@ -231,6 +231,40 @@ def test_pipeline_thousand_assets(rng):
         assert comp.decompress(ci, buf)
 
 
+def test_pipeline_with_mipmaps(rng):
+    """run(mipmaps=True) attaches full chains for the 4x4-block codecs,
+    byte-identical to repeated downsample; PVRTC assets get none (the
+    reference cannot downsample PVRTC)."""
+    from jax.sharding import Mesh
+
+    from texcomp import CompressedImage, DxtcCompressor, EtcCompressor
+
+    _need_devices(4)
+    pipeline = AssetPipeline(Mesh(np.array(jax.devices()[:4]), ("data",)))
+    assets = [
+        TextureAsset("d", make_test_image(rng, 32, 32, 3), "dxt1"),
+        TextureAsset("e", make_test_image(rng, 16, 16, 3), "etc1"),
+        TextureAsset("p", make_test_image(rng, 16, 16, 4), "pvrtc"),
+    ]
+    results = pipeline.run(assets, mipmaps=True)
+    assert "d_mip1" in results and "d_mip5" in results  # 32 -> 1x1
+    assert "e_mip4" in results and "e_mip5" not in results  # 16 -> 1x1
+    assert not any(k.startswith("p_mip") for k in results)
+
+    # chain levels equal repeated API downsample
+    for name, comp in (("d", DxtcCompressor()), ("e", EtcCompressor())):
+        cur = results[name]
+        lvl = 1
+        while f"{name}_mip{lvl}" in results:
+            nxt = CompressedImage()
+            assert comp.downsample(cur, nxt)
+            np.testing.assert_array_equal(
+                np.asarray(results[f"{name}_mip{lvl}"].get_data()),
+                np.asarray(nxt.get_data()), err_msg=f"{name} mip{lvl}")
+            cur = nxt
+            lvl += 1
+
+
 def test_pipeline_pvrtc4(rng):
     from jax.sharding import Mesh
 

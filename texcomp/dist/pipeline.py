@@ -140,8 +140,15 @@ class AssetPipeline:
         out = self._sharded_encode(codec, strategy)(jnp.asarray(images))
         return np.asarray(out)[:b]
 
-    def run(self, assets: Sequence[TextureAsset]) -> dict[str, CompressedImage]:
-        """Encode a mixed asset fleet. Returns name -> CompressedImage."""
+    def run(self, assets: Sequence[TextureAsset],
+            mipmaps: bool = False) -> dict[str, CompressedImage]:
+        """Encode a mixed asset fleet. Returns name -> CompressedImage.
+
+        With ``mipmaps=True``, every dxt1/dxt5/etc1 asset additionally gets
+        its full mip chain as ``<name>_mip1..N`` entries (produced with the
+        fused device chain where the backend allows — see
+        DxtcCompressor.downsample_chain; PVRTC has no downsample, like the
+        reference, pvrtc_compressor.cc:669-705)."""
         groups: dict[tuple, list[int]] = {}
         for i, a in enumerate(assets):
             key = (a.codec, a.strategy, a.image.shape)
@@ -169,6 +176,24 @@ class AssetPipeline:
                     ci.create_owned_data(md, payload.size)
                     ci.get_mutable_data()[:] = payload
                     results[a.name] = ci
+
+        if mipmaps:
+            from texcomp.api.dxtc import DxtcCompressor
+            from texcomp.api.etc import EtcCompressor
+
+            chainers = {}
+            for a in assets:
+                if a.codec in ("pvrtc", "pvrtc4"):
+                    continue
+                key = (a.codec, a.strategy)
+                if key not in chainers:
+                    chainers[key] = (
+                        EtcCompressor(a.strategy) if a.codec == "etc1"
+                        else DxtcCompressor())
+                for lvl, mip in enumerate(
+                        chainers[key].downsample_chain(results[a.name]),
+                        start=1):
+                    results[f"{a.name}_mip{lvl}"] = mip
         return results
 
 
