@@ -65,6 +65,23 @@ def test_decode_differential_mode_handbuilt():
     np.testing.assert_array_equal(out[3, 0], [max(0, b - 2) for b in base2])
 
 
+def test_set_compression_strategy_runtime_switch(rng, oracle):
+    """The reference's only runtime knob (etc_compressor.h:71-76): one
+    instance re-targeted mid-stream must match the oracle per strategy."""
+    img = make_test_image(rng, 16, 16, 3)
+    c = EtcCompressor()
+    assert c.get_compression_strategy() == CompressionStrategy.SMALLER_ERROR
+    for strategy in CompressionStrategy:
+        c.set_compression_strategy(strategy)
+        assert c.get_compression_strategy() == strategy
+        ci = CompressedImage()
+        assert c.compress(Format.RGB, 16, 16, 0, img.tobytes(), ci)
+        ref, _, _ = oracle.compress("etc", 0, 16, 16, 0, img.tobytes(),
+                                    strategy=int(strategy))
+        np.testing.assert_array_equal(ci.get_data(), ref,
+                                      err_msg=strategy.name)
+
+
 def test_etc_supports_rgb_only():
     c = EtcCompressor()
     assert c.supports_format(Format.RGB)
