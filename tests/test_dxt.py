@@ -211,3 +211,34 @@ def test_decompress_with_row_padding_layout(rng):
         )
         if r < h - 1:
             assert not arr[r * bpr + w * 3 : (r + 1) * bpr].any()
+
+
+def test_compressed_image_duplicate(rng):
+    """Duplicate deep-copies data AND metadata (compressed_image.h:112-122):
+    mutating the source afterwards must not affect the copy."""
+    from texcomp import CompressedImage, DxtcCompressor, Format
+
+    img = make_test_image(rng, 8, 8, 3)
+    src = CompressedImage()
+    assert DxtcCompressor().compress(Format.RGB, 8, 8, 0, img.tobytes(), src)
+
+    dup = CompressedImage()
+    dup.duplicate(src)
+    assert dup.owns_data()
+    np.testing.assert_array_equal(dup.get_data(), src.get_data())
+    assert dup.get_metadata() == src.get_metadata()
+
+    src.get_mutable_data()[:] = 0
+    src.get_metadata().compressor_name = "mutated"
+    assert dup.get_metadata().compressor_name == "dxtc"
+    assert np.asarray(dup.get_data()).any()
+
+    # self-duplicate of an owned image is a no-op
+    dup.duplicate(dup)
+    assert dup.get_metadata().compressor_name == "dxtc"
+
+    # external-storage instances reject set_metadata misuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        src.set_metadata(src.get_metadata())

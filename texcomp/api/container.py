@@ -86,7 +86,10 @@ class CompressedImage:
     def set_metadata(self, metadata: Metadata) -> None:
         """Set metadata on an external-storage instance
         (compressed_image.h:139-142)."""
-        assert not self._owns_data, "use create_owned_data for owned storage"
+        if self._owns_data:
+            raise ValueError(
+                "set_metadata is for external-storage instances; "
+                "use create_owned_data for owned storage")
         self._metadata = metadata.copy()
 
     def duplicate(self, other: "CompressedImage") -> None:
