@@ -24,9 +24,23 @@ def _is_power_of_two(x: int) -> bool:
 
 
 class PvrtcCompressor(Compressor):
-    """PVRTC 2BPP compressor (pvrtc_compressor.h:71-104)."""
+    """PVRTC 2BPP compressor (pvrtc_compressor.h:71-104).
+
+    ``quality``:
+      * "reference" (default) — byte-identical to the C++ reference.
+      * "high" — EXTENSION: alternating least-squares refinement of the
+        low-res A/B palette images + exact-error modulation and packing-mode
+        selection (codecs/pvrtc_hq.py), with an image-level best-of vs the
+        reference encoder (never worse; typically +3-5 dB on photos).
+        Payloads remain standard PVRTC 2BPP.
+    """
 
     name = "pvrtc"
+
+    def __init__(self, quality: str = "reference"):
+        if quality not in ("reference", "high"):
+            raise ValueError(f"unknown quality {quality!r}")
+        self._quality = quality
 
     def supports_format(self, fmt: Format) -> bool:
         """RGBA only (pvrtc_compressor.cc:611-613)."""
@@ -84,9 +98,14 @@ class PvrtcCompressor(Compressor):
             image.set_metadata(metadata)
 
         img = h4.buffer_to_image_array(buffer, height, width, 4, 0)
-        from texcomp.ops import pvrtc_encode_image_op
+        if self._quality == "high":
+            from texcomp.codecs.pvrtc_hq import encode_pvrtc_2bpp_hq_device
 
-        out = np.asarray(pvrtc_encode_image_op(jnp.asarray(img)))
+            out = np.asarray(encode_pvrtc_2bpp_hq_device(jnp.asarray(img)))
+        else:
+            from texcomp.ops import pvrtc_encode_image_op
+
+            out = np.asarray(pvrtc_encode_image_op(jnp.asarray(img)))
         image.get_mutable_data()[:] = out.reshape(-1)
         return True
 

@@ -87,11 +87,13 @@ def _color_diff(c0, c1):
     return jnp.sum(jnp.abs(c0 - c1), axis=-1)
 
 
-def _morph(image: jax.Array):
-    """Per-block extreme colors -> reduced A/B images
-    (Morph + GetExtremesFast, pvrtc_compressor.cc:255-329, :506-521).
+def _morph_extremes(image: jax.Array):
+    """Per-block extreme colors BEFORE bit-depth reduction
+    (GetExtremesFast, pvrtc_compressor.cc:255-329).
 
-    image: (H, W, 4) int32. Returns (A, B) each (nby, nbx, 4) int32.
+    image: (H, W, 4) int32. Returns (lo, hi) each (nby, nbx, 4) int32.
+    Split out of :func:`_morph` so the HQ extension (codecs/pvrtc_hq.py)
+    can seed its continuous A/B optimization from the unquantized extremes.
     """
     h, w = image.shape[0], image.shape[1]
     nby, nbx = h // BLOCK_H, w // BLOCK_W
@@ -140,19 +142,26 @@ def _morph(image: jax.Array):
     swap = jnp.sum(c1, axis=-1) < jnp.sum(c0, axis=-1)
     lo = jnp.where(swap[..., None], c1, c0)
     hi = jnp.where(swap[..., None], c0, c1)
+    return lo, hi
 
+
+def _morph(image: jax.Array):
+    """Per-block extreme colors -> reduced A/B images
+    (Morph + GetExtremesFast, pvrtc_compressor.cc:255-329, :506-521).
+
+    image: (H, W, 4) int32. Returns (A, B) each (nby, nbx, 4) int32.
+    """
+    lo, hi = _morph_extremes(image)
     return (
         _apply_color_channel_reduction(lo, is_b=False),
         _apply_color_channel_reduction(hi, is_b=True),
     )
 
 
-def _interpolate_upscaled(low: jax.Array, h: int, w: int):
-    """Bilinear wrap-around upscale of a low-res image to (h, w)
-    (GetInterpolatedColor2BPP, pvrtc_compressor.cc:208-237).
-
-    low: (nby, nbx, 4) int32. Returns (h, w, 4) int32.
-    """
+def _upscale_corners(low: jax.Array, h: int, w: int):
+    """The four wrap-gathered corner images and integer bilinear weights of
+    GetInterpolatedColor2BPP (pvrtc_compressor.cc:208-237). Shared between
+    the exact integer upscale below and the HQ mode's float upscale."""
     nby, nbx = low.shape[0], low.shape[1]
     y = jnp.arange(h, dtype=jnp.int32)[:, None]
     x = jnp.arange(w, dtype=jnp.int32)[None, :]
@@ -164,17 +173,26 @@ def _interpolate_upscaled(low: jax.Array, h: int, w: int):
     xw = (x + BLOCK_W // 2) & (BLOCK_W - 1)
     yw = (y + BLOCK_H // 2) & (BLOCK_H - 1)
 
-    flat = low.reshape(-1, 4)
-    g = lambda yy, xx: flat[(yy * nbx + xx).reshape(-1)].reshape(h, w, 4)
-    c00 = g(top, left)
-    c01 = g(top, right)
-    c10 = g(bottom, left)
-    c11 = g(bottom, right)
+    flat = low.reshape(-1, low.shape[-1])
+    g = lambda yy, xx: flat[(yy * nbx + xx).reshape(-1)].reshape(
+        h, w, low.shape[-1])
+    corners = (g(top, left), g(top, right), g(bottom, left), g(bottom, right))
+    weights = (
+        ((BLOCK_H - yw) * (BLOCK_W - xw))[..., None],
+        ((BLOCK_H - yw) * xw)[..., None],
+        (yw * (BLOCK_W - xw))[..., None],
+        (yw * xw)[..., None],
+    )
+    return corners, weights
 
-    wa = ((BLOCK_H - yw) * (BLOCK_W - xw))[..., None]
-    wb = ((BLOCK_H - yw) * xw)[..., None]
-    wc = (yw * (BLOCK_W - xw))[..., None]
-    wd = (yw * xw)[..., None]
+
+def _interpolate_upscaled(low: jax.Array, h: int, w: int):
+    """Bilinear wrap-around upscale of a low-res image to (h, w)
+    (GetInterpolatedColor2BPP, pvrtc_compressor.cc:208-237).
+
+    low: (nby, nbx, 4) int32. Returns (h, w, 4) int32.
+    """
+    (c00, c01, c10, c11), (wa, wb, wc, wd) = _upscale_corners(low, h, w)
     return (wa * c00 + wb * c01 + wc * c10 + wd * c11) // (BLOCK_W * BLOCK_H)
 
 
@@ -345,9 +363,12 @@ def encode_pvrtc_2bpp_device(image: jax.Array) -> jax.Array:
     color_words = _encode_colors(a, b, modes).reshape(-1)
 
     perm = jnp.asarray(zorder_block_permutation(nbx, nby))
-    mod_words = mod_words[perm]
-    color_words = color_words[perm]
+    return _pack_records(mod_words[perm], color_words[perm])
 
+
+def _pack_records(mod_words: jax.Array, color_words: jax.Array) -> jax.Array:
+    """(N,) uint32 mod/color words -> (N, 8) uint8 LE block records
+    (Append32, pvrtc_compressor.cc:59-65)."""
     parts = [
         mod_words & _U32(0xFF), (mod_words >> 8) & _U32(0xFF),
         (mod_words >> 16) & _U32(0xFF), (mod_words >> 24) & _U32(0xFF),
