@@ -158,42 +158,39 @@ def _morph(image: jax.Array):
     )
 
 
-def _upscale_corners(low: jax.Array, h: int, w: int):
-    """The four wrap-gathered corner images and integer bilinear weights of
-    GetInterpolatedColor2BPP (pvrtc_compressor.cc:208-237). Shared between
-    the exact integer upscale below and the HQ mode's float upscale."""
-    nby, nbx = low.shape[0], low.shape[1]
-    y = jnp.arange(h, dtype=jnp.int32)[:, None]
-    x = jnp.arange(w, dtype=jnp.int32)[None, :]
+def _upscale_axis(low: jax.Array, size: int, axis: int, block: int):
+    """One separable pass of the bilinear wrap upscale: weighted sum of the
+    two wrap-neighbors along ``axis``, NOT yet divided.
 
-    left = ((x - BLOCK_W // 2) & (w - 1)) >> LOG2_BLOCK_W
-    top = ((y - BLOCK_H // 2) & (h - 1)) >> LOG2_BLOCK_H
-    right = (left + 1) & (nbx - 1)
-    bottom = (top + 1) & (nby - 1)
-    xw = (x + BLOCK_W // 2) & (BLOCK_W - 1)
-    yw = (y + BLOCK_H // 2) & (BLOCK_H - 1)
-
-    flat = low.reshape(-1, low.shape[-1])
-    g = lambda yy, xx: flat[(yy * nbx + xx).reshape(-1)].reshape(
-        h, w, low.shape[-1])
-    corners = (g(top, left), g(top, right), g(bottom, left), g(bottom, right))
-    weights = (
-        ((BLOCK_H - yw) * (BLOCK_W - xw))[..., None],
-        ((BLOCK_H - yw) * xw)[..., None],
-        (yw * (BLOCK_W - xw))[..., None],
-        (yw * xw)[..., None],
-    )
-    return corners, weights
+    Gather-free: the reference's neighbor lookup
+    ``low[((p - block/2) & (size-1)) >> log2(block)]``
+    (GetInterpolatedColor2BPP, pvrtc_compressor.cc:208-237) is a
+    nearest-neighbor upsample followed by a wrap roll (shifting by a full
+    block advances the block index by exactly one, mod the wrap mask), so
+    each neighbor is repeat + roll — whole-tile copies instead of
+    ~10 ns/elem element gathers on TPU, and a linear map that jvp/vjp
+    (the HQ mode's CG refits) transpose cheaply."""
+    up = jnp.repeat(low, block, axis=axis)
+    prev = jnp.roll(up, block // 2, axis=axis)
+    nxt = jnp.roll(up, block // 2 - block, axis=axis)
+    shape = [1] * low.ndim
+    shape[axis] = size
+    fw = ((jnp.arange(size, dtype=jnp.int32) + block // 2)
+          & (block - 1)).reshape(shape).astype(low.dtype)
+    return (block - fw) * prev + fw * nxt
 
 
 def _interpolate_upscaled(low: jax.Array, h: int, w: int):
     """Bilinear wrap-around upscale of a low-res image to (h, w)
     (GetInterpolatedColor2BPP, pvrtc_compressor.cc:208-237).
 
-    low: (nby, nbx, 4) int32. Returns (h, w, 4) int32.
-    """
-    (c00, c01, c10, c11), (wa, wb, wc, wd) = _upscale_corners(low, h, w)
-    return (wa * c00 + wb * c01 + wc * c10 + wd * c11) // (BLOCK_W * BLOCK_H)
+    low: (nby, nbx, 4) int32. Returns (h, w, 4) int32. Separable two-pass
+    form — the x-pass runs at 1/BLOCK_H of the output size and the integer
+    sum is identical to the reference's 4-corner weighted sum, so the
+    single final division preserves bit-exact semantics."""
+    tmp = _upscale_axis(low, w, axis=1, block=BLOCK_W)  # (nby, w, C)
+    full = _upscale_axis(tmp, h, axis=0, block=BLOCK_H)  # (h, w, C)
+    return full // (BLOCK_W * BLOCK_H)
 
 
 def _apply_modulation(c0, c1, mod: int):

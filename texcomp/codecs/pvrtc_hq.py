@@ -62,10 +62,10 @@ _T = jnp.asarray([0.0, 3.0 / 8.0, 5.0 / 8.0, 1.0])
 
 def _upscale_f(low: jax.Array, h: int, w: int) -> jax.Array:
     """Float bilinear wrap upscale — the continuous-relaxation counterpart
-    of pvrtc._interpolate_upscaled (same corners/weights, true division)."""
-    (c00, c01, c10, c11), (wa, wb, wc, wd) = pv._upscale_corners(low, h, w)
-    return (wa * c00 + wb * c01 + wc * c10 + wd * c11) / float(
-        pv.BLOCK_W * pv.BLOCK_H)
+    of pvrtc._interpolate_upscaled (same separable passes, true division)."""
+    tmp = pv._upscale_axis(low, w, axis=1, block=pv.BLOCK_W)
+    full = pv._upscale_axis(tmp, h, axis=0, block=pv.BLOCK_H)
+    return full / float(pv.BLOCK_W * pv.BLOCK_H)
 
 
 def _tree_dot(x, y):
@@ -102,16 +102,19 @@ def _solve_ab(img_f, t, ab0, h: int, w: int):
     b = _tree_axpy(_RIDGE, ab0, fwd_t(img_f))
     x = ab0
     r = _tree_axpy(-1.0, apply_h(x), b)
-    p = r
-    rs = _tree_dot(r, r)
-    for _ in range(_CG_ITERS):
+
+    def cg_step(_, state):
+        x, r, p, rs = state
         hp = apply_h(p)
         alpha = rs / jnp.maximum(_tree_dot(p, hp), 1e-12)
         x = _tree_axpy(alpha, p, x)
         r = _tree_axpy(-alpha, hp, r)
         rs_new = _tree_dot(r, r)
         p = _tree_axpy(rs_new / jnp.maximum(rs, 1e-12), p, r)
-        rs = rs_new
+        return x, r, p, rs_new
+
+    x, _, _, _ = jax.lax.fori_loop(
+        0, _CG_ITERS, cg_step, (x, r, r, _tree_dot(r, r)))
     return x
 
 
@@ -212,21 +215,25 @@ def _encode_hq(image: jax.Array) -> jax.Array:
     lo, hi = pv._morph_extremes(img_i)
     ab = (lo.astype(jnp.float32), hi.astype(jnp.float32))
 
-    for _ in range(_OUTER_ITERS):
+    def outer_step(_, ab):
         a_up = _upscale_f(ab[0], h, w)
         b_up = _upscale_f(ab[1], h, w)
         cands = a_up[..., None] + (b_up - a_up)[..., None] * _T  # (H,W,4,4)
         err = jnp.sum((img_f[..., None] - cands) ** 2, axis=2)  # (H,W,4mods)
         t = _T[jnp.argmin(err, axis=-1)]
-        ab = _solve_ab(img_f, t, ab, h, w)
+        return _solve_ab(img_f, t, ab, h, w)
+
+    ab = jax.lax.fori_loop(0, _OUTER_ITERS, outer_step, ab)
 
     # Packing-aware rounds: refit A/B against the modulation the decoder
     # will actually reconstruct under the chosen packing modes.
-    for _ in range(_REFINE_CYCLES):
+    def refine_step(_, ab):
         a_q, b_q = _quantize_ab(ab, img_i)
         mod, modes = _assign(img_i, a_q, b_q, h, w)
         t = _T[_recon_mod(mod, modes, h, w)]
-        ab = _solve_ab(img_f, t, ab, h, w)
+        return _solve_ab(img_f, t, ab, h, w)
+
+    ab = jax.lax.fori_loop(0, _REFINE_CYCLES, refine_step, ab)
 
     a_q, b_q = _quantize_ab(ab, img_i)
     mod, modes = _assign(img_i, a_q, b_q, h, w)
