@@ -89,3 +89,52 @@ def test_hq_default_is_reference(rng, oracle):
 def test_hq_quality_arg_validated():
     with pytest.raises(ValueError):
         PvrtcCompressor(quality="ultra")
+
+
+# -- 4bpp extension ---------------------------------------------------------
+
+
+def _sse4(img, comp, ci):
+    from texcomp import Pvrtc4bppCompressor  # noqa: F401
+
+    buf = bytearray()
+    assert comp.decompress(ci, buf)
+    dec = np.frombuffer(bytes(buf), np.uint8).reshape(img.shape)
+    d = dec.astype(np.float64) - img.astype(np.float64)
+    return float((d * d).sum())
+
+
+@pytest.mark.parametrize("size", [8, 32])
+def test_hq4_never_worse(size, rng):
+    from texcomp import Pvrtc4bppCompressor
+
+    img = make_test_image(rng, size, size, 4)
+    results = {}
+    for q in ("reference", "high"):
+        c = Pvrtc4bppCompressor(quality=q)
+        ci = CompressedImage()
+        assert c.compress(Format.RGBA, size, size, 0, img.tobytes(), ci)
+        assert c.is_valid_compressed_image(ci)
+        results[q] = _sse4(img, c, ci)
+    assert results["high"] <= results["reference"]
+
+
+def test_hq4_beats_default_on_smooth_content():
+    from texcomp import Pvrtc4bppCompressor
+
+    size = 64
+    yy, xx = np.mgrid[0:size, 0:size]
+    img = np.stack([
+        (xx * 255 // (size - 1)),
+        (yy * 255 // (size - 1)),
+        np.clip(((xx + yy) * 255 // (2 * size - 2))
+                + (20 * np.sin(xx / 3.0)).astype(np.int64), 0, 255),
+        np.full((size, size), 255),
+    ], axis=-1).astype(np.uint8)
+    sse = {}
+    for q in ("reference", "high"):
+        c = Pvrtc4bppCompressor(quality=q)
+        ci = CompressedImage()
+        assert c.compress(Format.RGBA, size, size, 0, img.tobytes(), ci)
+        sse[q] = _sse4(img, c, ci)
+    assert sse["high"] < sse["reference"] * 0.9

@@ -158,9 +158,16 @@ class Pvrtc4bppCompressor(Compressor):
 
     Same Compressor contract and validation style; 4x4 blocks, 64-bit
     records, 0.5 bytes/pixel, square power-of-two images, full encode AND
-    decode support."""
+    decode support. ``quality="high"`` switches to the alternating
+    least-squares encoder (codecs/pvrtc_hq.py), never worse by decoded
+    error than the default one-shot encoder."""
 
     name = "pvrtc4"
+
+    def __init__(self, quality: str = "reference"):
+        if quality not in ("reference", "high"):
+            raise ValueError(f"unknown quality {quality!r}")
+        self._quality = quality
 
     def supports_format(self, fmt: Format) -> bool:
         return fmt == Format.RGBA
@@ -209,10 +216,15 @@ class Pvrtc4bppCompressor(Compressor):
                 return False
             image.set_metadata(metadata)
 
-        from texcomp.codecs import pvrtc4
-
         img = h4.buffer_to_image_array(buffer, height, width, 4, 0)
-        out = np.asarray(pvrtc4.encode_pvrtc_4bpp_device(jnp.asarray(img)))
+        if self._quality == "high":
+            from texcomp.codecs.pvrtc_hq import encode_pvrtc_4bpp_hq_device
+
+            out = np.asarray(encode_pvrtc_4bpp_hq_device(jnp.asarray(img)))
+        else:
+            from texcomp.codecs import pvrtc4
+
+            out = np.asarray(pvrtc4.encode_pvrtc_4bpp_device(jnp.asarray(img)))
         image.get_mutable_data()[:] = out.reshape(-1)
         return True
 

@@ -87,18 +87,21 @@ def _color_diff(c0, c1):
     return jnp.sum(jnp.abs(c0 - c1), axis=-1)
 
 
-def _morph_extremes(image: jax.Array):
+def _morph_extremes(image: jax.Array, block_h: int = BLOCK_H,
+                    block_w: int = BLOCK_W):
     """Per-block extreme colors BEFORE bit-depth reduction
     (GetExtremesFast, pvrtc_compressor.cc:255-329).
 
     image: (H, W, 4) int32. Returns (lo, hi) each (nby, nbx, 4) int32.
     Split out of :func:`_morph` so the HQ extension (codecs/pvrtc_hq.py)
-    can seed its continuous A/B optimization from the unquantized extremes.
+    can seed its continuous A/B optimization from the unquantized extremes
+    (with 4x4 blocks for the 4bpp variant).
     """
     h, w = image.shape[0], image.shape[1]
-    nby, nbx = h // BLOCK_H, w // BLOCK_W
-    blocks = image.reshape(nby, BLOCK_H, nbx, BLOCK_W, 4)
-    blocks = blocks.transpose(0, 2, 1, 3, 4).reshape(nby, nbx, 32, 4)
+    nby, nbx = h // block_h, w // block_w
+    blocks = image.reshape(nby, block_h, nbx, block_w, 4)
+    blocks = blocks.transpose(0, 2, 1, 3, 4).reshape(
+        nby, nbx, block_h * block_w, 4)
 
     r, g, b, a = (blocks[..., i] for i in range(4))
     lightness = (77 * r + 150 * g + 28 * b) // 256

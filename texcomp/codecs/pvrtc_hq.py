@@ -60,12 +60,15 @@ _RIDGE = 1e-2  # anchors texels whose bilinear support is all-mod-0/3
 _T = jnp.asarray([0.0, 3.0 / 8.0, 5.0 / 8.0, 1.0])
 
 
-def _upscale_f(low: jax.Array, h: int, w: int) -> jax.Array:
+def _make_upscale_f(h: int, w: int, block_h: int, block_w: int):
     """Float bilinear wrap upscale — the continuous-relaxation counterpart
-    of pvrtc._interpolate_upscaled (same separable passes, true division)."""
-    tmp = pv._upscale_axis(low, w, axis=1, block=pv.BLOCK_W)
-    full = pv._upscale_axis(tmp, h, axis=0, block=pv.BLOCK_H)
-    return full / float(pv.BLOCK_W * pv.BLOCK_H)
+    of pvrtc._interpolate_upscaled (same separable passes, true division).
+    8x4 blocks for 2bpp; 4x4 for the 4bpp extension."""
+    def upscale_f(low: jax.Array) -> jax.Array:
+        tmp = pv._upscale_axis(low, w, axis=1, block=block_w)
+        full = pv._upscale_axis(tmp, h, axis=0, block=block_h)
+        return full / float(block_w * block_h)
+    return upscale_f
 
 
 def _tree_dot(x, y):
@@ -76,7 +79,7 @@ def _tree_axpy(alpha, x, y):
     return tuple(alpha * a + b for a, b in zip(x, y))
 
 
-def _solve_ab(img_f, t, ab0, h: int, w: int):
+def _solve_ab(img_f, t, ab0, upscale_f):
     """Least-squares refit of the A/B texels for fixed modulation blend t.
 
     Solves (JᵀJ + λI) x = Jᵀ img + λ x₀ by CG, where J is the linear map
@@ -87,8 +90,7 @@ def _solve_ab(img_f, t, ab0, h: int, w: int):
     tb = t[..., None]
 
     def fwd(ab):
-        return (1.0 - tb) * _upscale_f(ab[0], h, w) + tb * _upscale_f(
-            ab[1], h, w)
+        return (1.0 - tb) * upscale_f(ab[0]) + tb * upscale_f(ab[1])
 
     def fwd_t(r):
         (vjp_ab,) = jax.vjp(fwd, ab0)[1](r)
@@ -116,6 +118,19 @@ def _solve_ab(img_f, t, ab0, h: int, w: int):
     x, _, _, _ = jax.lax.fori_loop(
         0, _CG_ITERS, cg_step, (x, r, r, _tree_dot(r, r)))
     return x
+
+
+def _make_outer_step(img_f, upscale_f):
+    """One alternating-minimization step: hard per-pixel modulation by true
+    squared error against the upscaled A/B, then the CG refit."""
+    def outer_step(_, ab):
+        a_up = upscale_f(ab[0])
+        b_up = upscale_f(ab[1])
+        cands = a_up[..., None] + (b_up - a_up)[..., None] * _T  # (H,W,4,4)
+        err = jnp.sum((img_f[..., None] - cands) ** 2, axis=2)  # (H,W,4mods)
+        t = _T[jnp.argmin(err, axis=-1)]
+        return _solve_ab(img_f, t, ab, upscale_f)
+    return outer_step
 
 
 def _mod_errors_int(img_i, a_up, b_up):
@@ -214,16 +229,10 @@ def _encode_hq(image: jax.Array) -> jax.Array:
 
     lo, hi = pv._morph_extremes(img_i)
     ab = (lo.astype(jnp.float32), hi.astype(jnp.float32))
+    upscale_f = _make_upscale_f(h, w, pv.BLOCK_H, pv.BLOCK_W)
 
-    def outer_step(_, ab):
-        a_up = _upscale_f(ab[0], h, w)
-        b_up = _upscale_f(ab[1], h, w)
-        cands = a_up[..., None] + (b_up - a_up)[..., None] * _T  # (H,W,4,4)
-        err = jnp.sum((img_f[..., None] - cands) ** 2, axis=2)  # (H,W,4mods)
-        t = _T[jnp.argmin(err, axis=-1)]
-        return _solve_ab(img_f, t, ab, h, w)
-
-    ab = jax.lax.fori_loop(0, _OUTER_ITERS, outer_step, ab)
+    ab = jax.lax.fori_loop(
+        0, _OUTER_ITERS, _make_outer_step(img_f, upscale_f), ab)
 
     # Packing-aware rounds: refit A/B against the modulation the decoder
     # will actually reconstruct under the chosen packing modes.
@@ -231,7 +240,7 @@ def _encode_hq(image: jax.Array) -> jax.Array:
         a_q, b_q = _quantize_ab(ab, img_i)
         mod, modes = _assign(img_i, a_q, b_q, h, w)
         t = _T[_recon_mod(mod, modes, h, w)]
-        return _solve_ab(img_f, t, ab, h, w)
+        return _solve_ab(img_f, t, ab, upscale_f)
 
     ab = jax.lax.fori_loop(0, _REFINE_CYCLES, refine_step, ab)
 
@@ -257,6 +266,75 @@ def encode_pvrtc_2bpp_hq_device(image: jax.Array) -> jax.Array:
 
     def sse(payload):
         dec = pv.decode_pvrtc_2bpp_device(payload, height=h, width=w)
+        d = dec.astype(jnp.float32) - img_f
+        return jnp.sum(d * d)
+
+    return jnp.where(sse(hq) <= sse(ref), hq, ref)
+
+
+# ---------------------------------------------------------------------------
+# 4bpp variant (codecs/pvrtc4.py is itself an extension; its HQ mode is
+# simpler than 2bpp: all 16 modulation values are stored per 4x4 block, so
+# there is no packing mode to pick and no packing-aware refit needed).
+# ---------------------------------------------------------------------------
+
+
+def _interpolate_upscaled4(low: jax.Array, h: int, w: int):
+    """Integer bilinear wrap upscale for 4x4 blocks (/16), separable —
+    matches codecs/pvrtc4._upscale4's corner/weight semantics on the
+    (nby, nbx, 4) image-grid layout."""
+    tmp = pv._upscale_axis(low, w, axis=1, block=4)
+    full = pv._upscale_axis(tmp, h, axis=0, block=4)
+    return full // 16
+
+
+def _encode_hq4(image: jax.Array) -> jax.Array:
+    """(H, W, 4) uint8 square power-of-two -> (NB, 8) uint8 4bpp records
+    (Z-order), via the same alternating minimization as 2bpp."""
+    h, w = image.shape[0], image.shape[1]
+    nb = h // 4
+    img_i = image.astype(jnp.int32)
+    img_f = image.astype(jnp.float32)
+
+    lo, hi = pv._morph_extremes(img_i, block_h=4, block_w=4)
+    ab = (lo.astype(jnp.float32), hi.astype(jnp.float32))
+    upscale_f = _make_upscale_f(h, w, 4, 4)
+
+    ab = jax.lax.fori_loop(
+        0, _OUTER_ITERS, _make_outer_step(img_f, upscale_f), ab)
+
+    a_q, b_q = _quantize_ab(ab, img_i)
+    a_up = _interpolate_upscaled4(a_q, h, w)
+    b_up = _interpolate_upscaled4(b_q, h, w)
+    err_m = _mod_errors_int(img_i, a_up, b_up)
+    mod = jnp.argmin(err_m, axis=-1).astype(jnp.uint32)
+
+    # Pack: 2 bits per pixel, pixel (y, x) at bit 2*(y*4+x); color word with
+    # mode flag 0 (standard weights), like codecs/pvrtc4.
+    m = mod.reshape(nb, 4, nb, 4).transpose(0, 2, 1, 3).reshape(nb, nb, 16)
+    pos = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    mod_words = jnp.bitwise_or.reduce(m << pos, axis=-1).reshape(-1)
+    modes0 = jnp.zeros((nb, nb), dtype=jnp.int32)
+    color_words = pv._encode_colors(a_q, b_q, modes0).reshape(-1)
+
+    perm = jnp.asarray(pv.zorder_block_permutation(nb, nb))
+    return pv._pack_records(mod_words[perm], color_words[perm])
+
+
+@partial(jax.jit, static_argnames=())
+def encode_pvrtc_4bpp_hq_device(image: jax.Array) -> jax.Array:
+    """HQ PVRTC 4BPP encode, never worse than the one-shot extension
+    encoder (codecs/pvrtc4.encode_pvrtc_4bpp_device) by decoded SSE."""
+    from texcomp.codecs import pvrtc4
+
+    h, w = image.shape[0], image.shape[1]
+    ref = pvrtc4.encode_pvrtc_4bpp_device(image)
+    hq = _encode_hq4(image)
+
+    img_f = image.astype(jnp.float32)
+
+    def sse(payload):
+        dec = pvrtc4.decode_pvrtc_4bpp_device(payload, height=h, width=w)
         d = dec.astype(jnp.float32) - img_f
         return jnp.sum(d * d)
 

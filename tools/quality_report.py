@@ -64,17 +64,18 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 def roundtrip(img: np.ndarray, codec: str, quality: str) -> tuple[np.ndarray, bytes]:
     from texcomp import (CompressedImage, DxtcCompressor, EtcCompressor,
-                         Format, PvrtcCompressor)
+                         Format, Pvrtc4bppCompressor, PvrtcCompressor)
 
     h, w, c = img.shape
-    if codec in ("dxt5", "pvrtc") and c == 3:
+    if codec in ("dxt5", "pvrtc", "pvrtc4") and c == 3:
         img = np.concatenate([img, np.full((h, w, 1), 255, np.uint8)], -1)
         c = 4
     fmt = Format.RGB if c == 3 else Format.RGBA
     comp = {"dxt1": lambda: DxtcCompressor(quality=quality),
             "dxt5": lambda: DxtcCompressor(quality=quality),
             "etc1": lambda: EtcCompressor(quality=quality),
-            "pvrtc": lambda: PvrtcCompressor(quality=quality)}[codec]()
+            "pvrtc": lambda: PvrtcCompressor(quality=quality),
+            "pvrtc4": lambda: Pvrtc4bppCompressor(quality=quality)}[codec]()
     ci = CompressedImage()
     if not comp.compress(fmt, h, w, 0, img.tobytes(), ci):
         raise RuntimeError(f"{codec} compress failed for {h}x{w}")
@@ -139,6 +140,7 @@ def main() -> int:
 
     # square-power-of-two crops for PVRTC (it rejects other sizes)
     pv_rows = []
+    pv4_rows = []
     for name, img in sorted(images.items()):
         s = 1 << (min(img.shape[0], img.shape[1]).bit_length() - 1)
         crop = img[:s, :s]
@@ -147,6 +149,11 @@ def main() -> int:
         pv_rows.append((f"{name} ({s}x{s} crop)", psnr(dec, crop[..., :3]),
                         psnr(dec_hq, crop[..., :3])))
         print(pv_rows[-1])
+        dec4, _ = roundtrip(crop, "pvrtc4", "reference")
+        dec4_hq, _ = roundtrip(crop, "pvrtc4", "high")
+        pv4_rows.append((f"{name} ({s}x{s} crop)", psnr(dec4, crop[..., :3]),
+                         psnr(dec4_hq, crop[..., :3])))
+        print(pv4_rows[-1])
 
     lines = [
         "# QUALITY — natural-image PSNR report",
@@ -201,7 +208,12 @@ def main() -> int:
         "extension (codecs/pvrtc_hq.py) with an image-level never-worse",
         "best-of vs the reference encoder (tests/test_pvrtc_hq.py).",
         "",
-    ]
+        "## PVRTC 4BPP (extension codec, same crops)",
+        "",
+        "| image | default | HQ | gain |",
+        "|---|---|---|---|",
+    ] + [f"| {n} | {p:.2f} | {q:.2f} | **+{q - p:.2f}** |"
+         for n, p, q in pv4_rows] + [""]
 
     Path(args.out).write_text("\n".join(lines))
     print(f"wrote {args.out}; parity checks={parity_checks} "
