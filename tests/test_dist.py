@@ -284,3 +284,41 @@ def test_pipeline_pvrtc4(rng):
         assert c.is_valid_compressed_image(ci)
         buf = bytearray()
         assert c.decompress(ci, buf)
+
+
+def test_pipeline_hq_quality(rng):
+    """quality='high' assets route through the HQ encoders in the sharded
+    pipeline and match the single-image API encoders byte-for-byte."""
+    from jax.sharding import Mesh
+
+    from texcomp import (CompressedImage, DxtcCompressor, Format,
+                         PvrtcCompressor)
+
+    _need_devices(2)
+    pipeline = AssetPipeline(Mesh(np.array(jax.devices()[:2]), ("data",)))
+
+    imgs3 = np.stack([make_test_image(rng, 16, 16, 3) for _ in range(4)])
+    imgs4 = np.stack([make_test_image(rng, 16, 16, 4) for _ in range(4)])
+    imgs4[..., 3] = 255
+    assets = (
+        [TextureAsset(f"d{i}", imgs3[i], "dxt1", quality="high")
+         for i in range(4)]
+        + [TextureAsset(f"p{i}", imgs4[i], "pvrtc", quality="high")
+           for i in range(4)]
+    )
+    results = pipeline.run(assets)
+
+    dxtc_hq = DxtcCompressor(quality="high")
+    pv_hq = PvrtcCompressor(quality="high")
+    for i in range(4):
+        ci = CompressedImage()
+        assert dxtc_hq.compress(Format.RGB, 16, 16, 0, imgs3[i].tobytes(), ci)
+        np.testing.assert_array_equal(
+            np.asarray(results[f"d{i}"].get_data()),
+            np.asarray(ci.get_data()), err_msg=f"d{i}")
+
+        ci = CompressedImage()
+        assert pv_hq.compress(Format.RGBA, 16, 16, 0, imgs4[i].tobytes(), ci)
+        np.testing.assert_array_equal(
+            np.asarray(results[f"p{i}"].get_data()),
+            np.asarray(ci.get_data()), err_msg=f"p{i}")

@@ -22,6 +22,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from texcomp.codecs import dxt as dxt_ref
 from texcomp.core import colors as cc
@@ -29,8 +30,11 @@ from texcomp.core import colors as cc
 _REFINE_ITERS = 3
 # Interpolation weights of palette entries p0, p1, p2, p3 as (w0, w1):
 # decode computes p2 = (2*p0 + p1) / 3, p3 = (p0 + 2*p1) / 3.
-_CODE_W0 = jnp.asarray([1.0, 0.0, 2.0 / 3.0, 1.0 / 3.0])
-_CODE_W1 = jnp.asarray([0.0, 1.0, 1.0 / 3.0, 2.0 / 3.0])
+# Module-level constants stay numpy: jnp arrays created at import time
+# leak as tracers when the module is first imported inside a traced region
+# (e.g. the asset pipeline's shard_map importing codecs lazily).
+_CODE_W0 = np.asarray([1.0, 0.0, 2.0 / 3.0, 1.0 / 3.0], dtype=np.float32)
+_CODE_W1 = np.asarray([0.0, 1.0, 1.0 / 3.0, 2.0 / 3.0], dtype=np.float32)
 
 
 def _hardware_palette(c0_16, c1_16):
@@ -66,8 +70,8 @@ def _assign_codes(rgb_f, c0_16, c1_16):
 def _least_squares_endpoints(rgb_f, codes):
     """Solve min ||w0*e0 + w1*e1 - px||^2 over the block for e0, e1 given
     per-pixel weights; closed-form 2x2 normal equations per block/channel."""
-    w0 = _CODE_W0[codes]  # (N, 16)
-    w1 = _CODE_W1[codes]
+    w0 = jnp.asarray(_CODE_W0)[codes]  # (N, 16)
+    w1 = jnp.asarray(_CODE_W1)[codes]
     a00 = jnp.sum(w0 * w0, axis=1)
     a01 = jnp.sum(w0 * w1, axis=1)
     a11 = jnp.sum(w1 * w1, axis=1)
@@ -190,12 +194,12 @@ def encode_dxt1_hq_blocks(rgb: jax.Array,
 
 # Alpha ramp interpolation weights of entry k as (w0, w1) per scheme.
 # Interp scheme (a0 > a1): ramp[k] = ((7-k+1)*a0 + (k-1)*a1)/7 for k>=2.
-_ALPHA_W0_INTERP = jnp.asarray([1, 0, 6 / 7, 5 / 7, 4 / 7, 3 / 7, 2 / 7, 1 / 7],
-                               dtype=jnp.float32)
+_ALPHA_W0_INTERP = np.asarray([1, 0, 6 / 7, 5 / 7, 4 / 7, 3 / 7, 2 / 7, 1 / 7],
+                               dtype=np.float32)
 # Explicit scheme (a0 <= a1): entries 6, 7 are the constants 0 and 255.
-_ALPHA_W0_EXPL = jnp.asarray([1, 0, 4 / 5, 3 / 5, 2 / 5, 1 / 5, 0, 0],
-                             dtype=jnp.float32)
-_ALPHA_FREE_EXPL = jnp.asarray([1, 1, 1, 1, 1, 1, 0, 0], dtype=jnp.float32)
+_ALPHA_W0_EXPL = np.asarray([1, 0, 4 / 5, 3 / 5, 2 / 5, 1 / 5, 0, 0],
+                             dtype=np.float32)
+_ALPHA_FREE_EXPL = np.asarray([1, 1, 1, 1, 1, 1, 0, 0], dtype=np.float32)
 
 
 def _alpha_decode_ramp(a0, a1):
@@ -222,8 +226,9 @@ def _alpha_assign(a, a0, a1):
 def _alpha_ls(a, codes, interp: bool):
     """Least-squares alpha endpoints for fixed codes under one scheme."""
     af = a.astype(jnp.float32)
-    w0 = (_ALPHA_W0_INTERP if interp else _ALPHA_W0_EXPL)[codes]  # (N, 16)
-    free = (jnp.ones_like(w0) if interp else _ALPHA_FREE_EXPL[codes])
+    w0 = jnp.asarray(_ALPHA_W0_INTERP if interp else _ALPHA_W0_EXPL)[codes]
+    free = (jnp.ones_like(w0)
+            if interp else jnp.asarray(_ALPHA_FREE_EXPL)[codes])
     w1 = (1.0 - w0) * free
     w0 = w0 * free
     a00 = jnp.sum(w0 * w0, axis=1)

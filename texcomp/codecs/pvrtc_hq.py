@@ -47,6 +47,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from texcomp.codecs import pvrtc as pv
 
@@ -56,8 +57,10 @@ _CG_ITERS = 6
 _RIDGE = 1e-2  # anchors texels whose bilinear support is all-mod-0/3
 
 # Blend weight of B for each modulation value (ApplyModulation,
-# pvrtc_compressor.cc:120-144).
-_T = jnp.asarray([0.0, 3.0 / 8.0, 5.0 / 8.0, 1.0])
+# pvrtc_compressor.cc:120-144). Stays numpy: a module-level jnp array
+# leaks as a tracer when this module is first imported inside a traced
+# region (the asset pipeline's shard_map imports codecs lazily).
+_T = np.asarray([0.0, 3.0 / 8.0, 5.0 / 8.0, 1.0], dtype=np.float32)
 
 
 def _make_upscale_f(h: int, w: int, block_h: int, block_w: int):
@@ -126,9 +129,9 @@ def _make_outer_step(img_f, upscale_f):
     def outer_step(_, ab):
         a_up = upscale_f(ab[0])
         b_up = upscale_f(ab[1])
-        cands = a_up[..., None] + (b_up - a_up)[..., None] * _T  # (H,W,4,4)
+        cands = a_up[..., None] + (b_up - a_up)[..., None] * jnp.asarray(_T)  # (H,W,4,4)
         err = jnp.sum((img_f[..., None] - cands) ** 2, axis=2)  # (H,W,4mods)
-        t = _T[jnp.argmin(err, axis=-1)]
+        t = jnp.asarray(_T)[jnp.argmin(err, axis=-1)]
         return _solve_ab(img_f, t, ab, upscale_f)
     return outer_step
 
@@ -239,7 +242,7 @@ def _encode_hq(image: jax.Array) -> jax.Array:
     def refine_step(_, ab):
         a_q, b_q = _quantize_ab(ab, img_i)
         mod, modes = _assign(img_i, a_q, b_q, h, w)
-        t = _T[_recon_mod(mod, modes, h, w)]
+        t = jnp.asarray(_T)[_recon_mod(mod, modes, h, w)]
         return _solve_ab(img_f, t, ab, upscale_f)
 
     ab = jax.lax.fori_loop(0, _REFINE_CYCLES, refine_step, ab)

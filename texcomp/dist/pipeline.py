@@ -44,16 +44,43 @@ class TextureAsset:
 
     name: str
     image: np.ndarray
-    codec: str  # dxt1 | dxt5 | etc1 | pvrtc
+    codec: str  # dxt1 | dxt5 | etc1 | pvrtc | pvrtc4
     strategy: int = 2  # ETC1 only
+    quality: str = "reference"  # "high" -> the HQ extension encoders
 
 
-def _batch_encode(images: jax.Array, codec: str, strategy: int) -> jax.Array:
+def _batch_encode_hq(images: jax.Array, codec: str) -> jax.Array:
+    """quality="high" fleet path: the HQ extension encoders, batched.
+    Payloads stay standard; every encoder is never-worse vs reference."""
+    from texcomp.codecs import dxt_hq, etc
+    from texcomp.codecs.pvrtc_hq import (encode_pvrtc_2bpp_hq_device,
+                                         encode_pvrtc_4bpp_hq_device)
+
+    if codec == "pvrtc":
+        return jax.vmap(encode_pvrtc_2bpp_hq_device)(images)
+    if codec == "pvrtc4":
+        return jax.vmap(encode_pvrtc_4bpp_hq_device)(images)
+
+    n = (images.shape[1] // 4) * (images.shape[2] // 4)
+    blocks = jax.vmap(image_to_blocks)(images)
+    if codec == "dxt1":
+        return jax.vmap(dxt_hq.encode_dxt1_hq_blocks)(blocks)
+    if codec == "dxt5":
+        outside = jnp.zeros((images.shape[0], n), dtype=bool)
+        return jax.vmap(dxt_hq.encode_dxt5_hq_blocks)(blocks, outside)
+    return jax.vmap(etc.encode_etc1_hq_blocks)(blocks)
+
+
+def _batch_encode(images: jax.Array, codec: str, strategy: int,
+                  quality: str = "reference") -> jax.Array:
     """(B, H, W, C) uint8 -> (B, num_blocks, block_bytes) uint8."""
     from texcomp.ops import use_pallas
 
     b, h, w = images.shape[0], images.shape[1], images.shape[2]
     n = (h // 4) * (w // 4)
+
+    if quality == "high":
+        return _batch_encode_hq(images, codec)
 
     if codec == "pvrtc":
         from texcomp.ops import pvrtc_encode_image_op
@@ -109,13 +136,15 @@ class AssetPipeline:
         self.batch_size = max(batch_size, self.ndev)
         self._jitted = {}
 
-    def _sharded_encode(self, codec: str, strategy: int):
-        key = (codec, strategy)
+    def _sharded_encode(self, codec: str, strategy: int,
+                        quality: str = "reference"):
+        key = (codec, strategy, quality)
         if key not in self._jitted:
             mesh = self.mesh
 
             def fn(images):
-                local = partial(_batch_encode, codec=codec, strategy=strategy)
+                local = partial(_batch_encode, codec=codec, strategy=strategy,
+                                quality=quality)
                 # check_vma=False: pallas_call outputs carry no varying-mesh
                 # -axes metadata, which trips the default check on TPU.
                 return jax.shard_map(
@@ -127,7 +156,8 @@ class AssetPipeline:
         return self._jitted[key]
 
     def encode_group(self, images: np.ndarray, codec: str,
-                     strategy: int = 2) -> np.ndarray:
+                     strategy: int = 2,
+                     quality: str = "reference") -> np.ndarray:
         """Encode a same-shape batch: (B, H, W, C) -> (B, nblocks, bytes).
 
         The batch is padded to a multiple of the mesh size; each device
@@ -137,7 +167,8 @@ class AssetPipeline:
         pad = (-b) % self.ndev
         if pad:
             images = np.concatenate([images, images[:1].repeat(pad, 0)], 0)
-        out = self._sharded_encode(codec, strategy)(jnp.asarray(images))
+        out = self._sharded_encode(codec, strategy, quality)(
+            jnp.asarray(images))
         return np.asarray(out)[:b]
 
     def run(self, assets: Sequence[TextureAsset],
@@ -151,15 +182,16 @@ class AssetPipeline:
         reference, pvrtc_compressor.cc:669-705)."""
         groups: dict[tuple, list[int]] = {}
         for i, a in enumerate(assets):
-            key = (a.codec, a.strategy, a.image.shape)
+            key = (a.codec, a.strategy, getattr(a, "quality", "reference"),
+                   a.image.shape)
             groups.setdefault(key, []).append(i)
 
         results: dict[str, CompressedImage] = {}
-        for (codec, strategy, shape), idxs in groups.items():
+        for (codec, strategy, quality, shape), idxs in groups.items():
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start : start + self.batch_size]
                 batch = np.stack([assets[i].image for i in chunk])
-                encoded = self.encode_group(batch, codec, strategy)
+                encoded = self.encode_group(batch, codec, strategy, quality)
                 for j, i in enumerate(chunk):
                     a = assets[i]
                     h, w = a.image.shape[0], a.image.shape[1]
