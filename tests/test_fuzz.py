@@ -151,3 +151,55 @@ def test_fuzz_decode_arbitrary_payloads(trial, oracle):
     np.testing.assert_array_equal(
         np.frombuffer(bytes(out), np.uint8), ref,
         err_msg=f"{name} {h}x{w} random payload")
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_hq_never_worse(trial):
+    """HQ extension fuzz: for random content and sizes, every HQ encoder
+    produces a valid standard payload whose decoded error is <= the
+    reference/default encoder's."""
+    from texcomp import Pvrtc4bppCompressor, PvrtcCompressor
+
+    rng = np.random.default_rng(77_000 + trial)
+    kind = ["mixed", "solid"][int(rng.random() < 0.3)]
+
+    def sse(comp, ci, img):
+        buf = bytearray()
+        ok = comp.decompress(ci, buf)
+        if not ok:
+            ok = comp.decompress_extension(ci, buf)
+        assert ok
+        dec = np.frombuffer(bytes(buf), np.uint8).reshape(img.shape)
+        d = dec.astype(np.float64) - img.astype(np.float64)
+        return float((d * d).sum())
+
+    # DXT1 / DXT5 (arbitrary sizes) and ETC1.
+    for codec, fmt, comps in (("dxtc3", Format.RGB, 3),
+                              ("dxtc4", Format.RGBA, 4),
+                              ("etc", Format.RGB, 3)):
+        h = int(rng.integers(4, 41)) // 4 * 4 or 4
+        w = int(rng.integers(4, 41)) // 4 * 4 or 4
+        img = make_test_image(rng, h, w, comps, kind=kind)
+        errs = {}
+        for q in ("reference", "high"):
+            comp = (EtcCompressor(quality=q) if codec == "etc"
+                    else DxtcCompressor(quality=q))
+            ci = CompressedImage()
+            assert comp.compress(fmt, h, w, 0, img.tobytes(), ci)
+            assert comp.is_valid_compressed_image(ci)
+            errs[q] = sse(comp, ci, img)
+        assert errs["high"] <= errs["reference"], (codec, h, w, kind)
+
+    # PVRTC 2bpp / 4bpp (square power-of-two; fixed sizes bound recompiles).
+    size = [8, 16, 32][trial % 3]
+    img = make_test_image(rng, size, size, 4, kind=kind)
+    for cls in (PvrtcCompressor, Pvrtc4bppCompressor):
+        errs = {}
+        for q in ("reference", "high"):
+            comp = cls(quality=q)
+            ci = CompressedImage()
+            assert comp.compress(Format.RGBA, size, size, 0, img.tobytes(),
+                                 ci)
+            assert comp.is_valid_compressed_image(ci)
+            errs[q] = sse(comp, ci, img)
+        assert errs["high"] <= errs["reference"], (cls.__name__, size, kind)

@@ -48,8 +48,8 @@ def _compressor(codec: str, quality: str, strategy: int):
     if codec == "etc1":
         return EtcCompressor(CompressionStrategy(strategy), quality=quality)
     if codec == "pvrtc":
-        return PvrtcCompressor()
-    return Pvrtc4bppCompressor()
+        return PvrtcCompressor(quality=quality)
+    return Pvrtc4bppCompressor(quality=quality)
 
 
 def _compressor_for(ci: CompressedImage):
