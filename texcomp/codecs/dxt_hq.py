@@ -67,11 +67,11 @@ def _assign_codes(rgb_f, c0_16, c1_16):
     return codes, err
 
 
-def _least_squares_endpoints(rgb_f, codes):
+def _least_squares_endpoints(rgb_f, codes, w0_tab=None, w1_tab=None):
     """Solve min ||w0*e0 + w1*e1 - px||^2 over the block for e0, e1 given
     per-pixel weights; closed-form 2x2 normal equations per block/channel."""
-    w0 = jnp.asarray(_CODE_W0)[codes]  # (N, 16)
-    w1 = jnp.asarray(_CODE_W1)[codes]
+    w0 = jnp.asarray(_CODE_W0 if w0_tab is None else w0_tab)[codes]  # (N, 16)
+    w1 = jnp.asarray(_CODE_W1 if w1_tab is None else w1_tab)[codes]
     a00 = jnp.sum(w0 * w0, axis=1)
     a01 = jnp.sum(w0 * w1, axis=1)
     a11 = jnp.sum(w1 * w1, axis=1)
@@ -124,6 +124,21 @@ def _pca_endpoints(rgb_f):
     return ([e0[:, c] for c in range(3)], [e1[:, c] for c in range(3)])
 
 
+def _perturb_565(c, ch: int, d: int):
+    """c with 565 field ``ch`` (0=r, 1=g, 2=b) moved by d code points,
+    clamped to the field's range."""
+    shift = (11, 5, 0)[ch]
+    bits = (5, 6, 5)[ch]
+    f = (c >> shift) & ((1 << bits) - 1)
+    f2 = jnp.clip(f + d, 0, (1 << bits) - 1)
+    return (c & ~(((1 << bits) - 1) << shift)) | (f2 << shift)
+
+
+def _pack_rows(codes):
+    shifts = jnp.arange(4, dtype=jnp.int32) * 2
+    return jnp.sum(codes.reshape(-1, 4, 4) << shifts[None, None, :], axis=-1)
+
+
 def _hq_color_words(rgb):
     """HQ endpoint search. rgb: (N, 16, 3) int32. Returns (c0_16, c1_16,
     rows) like dxt_ref._encode_dxt1_words, always using 4-color mode."""
@@ -134,9 +149,7 @@ def _hq_color_words(rgb):
     codes, best_err = _assign_codes(rgb_f, c0, c1)
     best = (c0, c1, codes)
 
-    for _ in range(_REFINE_ITERS):
-        e0, e1 = _least_squares_endpoints(rgb_f, codes)
-        c0, c1 = _quantize_endpoints(e0, e1)
+    def take(c0, c1, best, best_err):
         codes, err = _assign_codes(rgb_f, c0, c1)
         improved = err < best_err
         best = (
@@ -144,7 +157,26 @@ def _hq_color_words(rgb):
             jnp.where(improved, c1, best[1]),
             jnp.where(improved[:, None], codes, best[2]),
         )
-        best_err = jnp.minimum(err, best_err)
+        return codes, best, jnp.minimum(err, best_err)
+
+    for _ in range(_REFINE_ITERS):
+        e0, e1 = _least_squares_endpoints(rgb_f, codes)
+        c0, c1 = _quantize_endpoints(e0, e1)
+        codes, best, best_err = take(c0, c1, best, best_err)
+
+    # ±1 code-point neighborhood of the converged endpoints, per endpoint
+    # and channel: quantization rounds each 565 field independently, but
+    # the best joint endpoint pair often sits one code point off (the
+    # palette thirds move by a fraction of a code point). _assign_codes
+    # scores with the exact hardware-decoded palette, so this selection is
+    # by true 4-color error.
+    bc0, bc1 = best[0], best[1]
+    for ch in range(3):
+        for d in (-1, 1):
+            _, best, best_err = take(_perturb_565(bc0, ch, d), bc1,
+                                     best, best_err)
+            _, best, best_err = take(bc0, _perturb_565(bc1, ch, d),
+                                     best, best_err)
 
     c0, c1, codes = best
     # Enforce c0 > c1 (4-color mode) by swapping endpoints and remapping
@@ -155,10 +187,65 @@ def _hq_color_words(rgb):
     c1_f = jnp.where(swap, c0, c1)
     codes = jnp.where(swap[:, None], codes ^ 1, codes)
     codes = jnp.where((c0_f == c1_f)[:, None], 0, codes)
+    return c0_f, c1_f, _pack_rows(codes)
 
-    shifts = jnp.arange(4, dtype=jnp.int32) * 2
-    rows = jnp.sum(codes.reshape(-1, 4, 4) << shifts[None, None, :], axis=-1)
-    return c0_f, c1_f, rows
+
+# 3-color mode (c0 <= c1): palette [e0, e1, (e0+e1)/2, black]. Weights for
+# the least-squares refit; black contributes nothing (free = 0 drops the
+# pixel from the normal equations).
+_CODE3_W0 = np.asarray([1.0, 0.0, 0.5, 0.0], dtype=np.float32)
+_CODE3_W1 = np.asarray([0.0, 1.0, 0.5, 0.0], dtype=np.float32)
+
+
+def _assign_codes3(rgb_f, c0_16, c1_16):
+    """Nearest index against the exact 3-color-mode palette
+    (DecodeColors with c0 <= c1, dxtc_compressor.cc:183-191): entry 2 is
+    the integer average, entry 3 black."""
+    e0 = [cc.extend565_r(c0_16 >> 11), cc.extend565_g((c0_16 >> 5) & 63),
+          cc.extend565_b(c0_16 & 31)]
+    e1 = [cc.extend565_r(c1_16 >> 11), cc.extend565_g((c1_16 >> 5) & 63),
+          cc.extend565_b(c1_16 & 31)]
+    d = None
+    for ch in range(3):
+        mid = cc.combine_int_fast(1, 1, e0[ch], e1[ch])
+        pal = jnp.stack([e0[ch], e1[ch], mid, jnp.zeros_like(mid)], axis=-1)
+        diff = pal.astype(jnp.float32)[:, None, :] - rgb_f[:, :, ch][:, :, None]
+        d = diff * diff if d is None else d + diff * diff
+    codes = jnp.argmin(d, axis=-1)
+    err = jnp.sum(jnp.min(d, axis=-1), axis=-1)
+    return codes, err
+
+
+def _hq3_color_words(rgb, init_c0, init_c1):
+    """3-color-mode candidate (c0 <= c1; palette midpoint + black). Helps
+    blocks containing near-black pixels, which the 4-color ramp must span.
+    Returns packed (N, 8) uint8 blocks."""
+    rgb_f = rgb.astype(jnp.float32)
+    codes, best_err = _assign_codes3(rgb_f, init_c0, init_c1)
+    best = (init_c0, init_c1, codes)
+
+    for _ in range(2):
+        e0, e1 = _least_squares_endpoints(rgb_f, codes,
+                                          w0_tab=_CODE3_W0, w1_tab=_CODE3_W1)
+        c0, c1 = _quantize_endpoints(e0, e1)
+        codes, err = _assign_codes3(rgb_f, c0, c1)
+        improved = err < best_err
+        best = (
+            jnp.where(improved, c0, best[0]),
+            jnp.where(improved, c1, best[1]),
+            jnp.where(improved[:, None], codes, best[2]),
+        )
+        best_err = jnp.minimum(err, best_err)
+
+    c0, c1, codes = best
+    # 3-color decode requires c0 <= c1: swap + remap 0<->1 (entries 2, 3
+    # are symmetric). The c0 == c1 degenerate palette differs; the packed
+    # candidate is still valid and the caller picks by true decoded error.
+    swap = c0 > c1
+    c0_f = jnp.where(swap, c1, c0)
+    c1_f = jnp.where(swap, c0, c1)
+    codes = jnp.where(swap[:, None] & (codes < 2), codes ^ 1, codes)
+    return dxt_ref._dxt1_bytes(c0_f, c1_f, _pack_rows(codes))
 
 
 def _true_block_error(data, rgb, always4: bool):
@@ -185,11 +272,18 @@ def encode_dxt1_hq_blocks(rgb: jax.Array,
     preserves — keeping the never-worse guarantee exact for BGR too."""
     c0, c1, rows = _hq_color_words(rgb)
     hq = dxt_ref._dxt1_bytes(c0, c1, rows)
+    hq3 = _hq3_color_words(rgb, c0, c1)
     ref = dxt_ref._dxt1_bytes(
         *dxt_ref._encode_dxt1_words(rgb, False, swap_red_and_blue))
-    pick_hq = (_true_block_error(hq, rgb, False)
-               <= _true_block_error(ref, rgb, False))
-    return jnp.where(pick_hq[:, None], hq, ref)
+
+    out, err = hq, _true_block_error(hq, rgb, False)
+    for cand in (hq3, ref):
+        e = _true_block_error(cand, rgb, False)
+        # ref last with <=: ties go to the reference payload.
+        better = e <= err
+        out = jnp.where(better[:, None], cand, out)
+        err = jnp.minimum(e, err)
+    return out
 
 
 # Alpha ramp interpolation weights of entry k as (w0, w1) per scheme.
