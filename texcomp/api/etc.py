@@ -62,9 +62,11 @@ class EtcCompressor(Compressor):
       * "reference" (default) — byte-identical to the C++ reference under
         the selected strategy.
       * "high" — EXTENSION: evaluates truncated and round-exact base-color
-        quantization for both flips with the exhaustive codeword search and
-        keeps the minimum true-error encoding (provably never worse than
-        the reference's kSmallerError). Payloads remain standard ETC1.
+        quantization for both flips, a ±1 code-point neighborhood, and
+        alternating least-squares base refits, all through the exhaustive
+        codeword search, keeping the minimum true-error encoding (provably
+        never worse than the reference's kSmallerError). Payloads remain
+        standard ETC1.
     """
 
     name = "etc"

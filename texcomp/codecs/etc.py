@@ -352,11 +352,47 @@ def encode_etc1_blocks(rgb: jax.Array, strategy: int = SMALLER_ERROR) -> jax.Arr
     return words_to_bytes(hi, lo)
 
 
+def _refit_bases(rgb: jax.Array, flip: bool, hi: jax.Array, lo: jax.Array):
+    """Least-squares subblock bases for a packed candidate's modifiers.
+
+    For fixed per-pixel modifiers m (the candidate's chosen codeword +
+    pixel indices, extracted from the words), the unclamped optimal base
+    per (subblock, channel) is mean(pixel - m). Returns (q1_555, q2_555,
+    q1_444, q2_444) ready for :func:`_finish_flip`, which re-searches
+    codewords and indices exhaustively — one alternating-optimization
+    round."""
+    h = hi.astype(jnp.int32)
+    l = lo.astype(jnp.int32)
+    cw1 = (h >> 5) & 7
+    cw2 = (h >> 2) & 7
+    p = jnp.asarray(_P_ETC)
+    idx = ((l[:, None] >> p[None, :]) & 1) | (
+        ((l[:, None] >> (p[None, :] + 16)) & 1) << 1
+    )  # (N, 16)
+    mask0 = jnp.asarray(_subblock_mask(flip))
+    cw_px = jnp.where(mask0[None, :], cw1[:, None], cw2[:, None])
+    m = _codebook()[cw_px, idx]  # (N, 16)
+
+    mask0f = mask0.astype(jnp.float32)[None, :]
+    q1_555, q2_555, q1_444, q2_444 = [], [], [], []
+    for ch in range(3):
+        resid = (rgb[:, :, ch] - m).astype(jnp.float32)
+        b1 = jnp.clip(jnp.round(jnp.sum(resid * mask0f, axis=1) / 8.0),
+                      0, 255).astype(jnp.int32)
+        b2 = jnp.clip(jnp.round(jnp.sum(resid * (1 - mask0f), axis=1) / 8.0),
+                      0, 255).astype(jnp.int32)
+        q1_555.append(cc.quantize8(b1, 5))
+        q2_555.append(cc.quantize8(b2, 5))
+        q1_444.append(cc.quantize8(b1, 4))
+        q2_444.append(cc.quantize8(b2, 4))
+    return q1_555, q2_555, q1_444, q2_444
+
+
 @jax.jit
 def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
     """High-quality ETC1 encode (EXTENSION — beats the reference encoder).
 
-    Three candidate families, all scored by the exhaustive codeword
+    Four candidate families, all scored by the exhaustive codeword
     search's true squared-RGB error (so the min-select is exact) and all
     packing standard ETC1 words:
 
@@ -372,8 +408,13 @@ def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
          often sits one code point off per channel — freedom the shared
          luminance modifier cannot express. (+0.25-0.4 dB on photos over
          families 1-2 alone.)
+      4. Two alternating-refit rounds per flip: refit the bases by least
+         squares against the incumbent winner's chosen modifiers
+         (:func:`_refit_bases`), then re-run the exhaustive search on the
+         refit bases. Captures multi-code-point base shifts the ±1
+         neighborhood cannot reach.
     """
-    candidates = []
+    best = None
     for flip in (False, True):
         mask0f = jnp.asarray(_subblock_mask(flip)).astype(jnp.int32)[None, :]
         avg1, avg2 = [], []
@@ -393,8 +434,8 @@ def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
             return _finish_flip(rgb, flip, SMALLER_ERROR,
                                 q1_555, q2_555, q1_444, q2_444)
 
-        candidates.append(finish(q1t[0], q2t[0], q1t[1], q2t[1]))
-        candidates.append(finish(q1r[0], q2r[0], q1r[1], q2r[1]))
+        candidates = [finish(q1t[0], q2t[0], q1t[1], q2t[1]),
+                      finish(q1r[0], q2r[0], q1r[1], q2r[1])]
 
         for sb in (0, 1):
             for ch in range(3):
@@ -408,13 +449,35 @@ def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
                         (f1 if sb == 0 else f2)[ch] + d, 0, 15)
                     candidates.append(finish(q1r[0], q2r[0], f1, f2))
 
-    hi, lo, err = candidates[0]
-    for h2, l2, e2 in candidates[1:]:
-        better = e2 < err
-        hi = jnp.where(better, h2, hi)
-        lo = jnp.where(better, l2, lo)
-        err = jnp.where(better, e2, err)
-    return words_to_bytes(hi, lo)
+        hi, lo, err = candidates[0]
+        for h2, l2, e2 in candidates[1:]:
+            better = e2 < err
+            hi = jnp.where(better, h2, hi)
+            lo = jnp.where(better, l2, lo)
+            err = jnp.where(better, e2, err)
+
+        # Alternating refit: LS bases from the incumbent's modifiers, then
+        # a fresh exhaustive search. The refit output (not the incumbent)
+        # seeds the next round so the second iteration explores the new
+        # assignment; the keep-best select protects against regressions.
+        cur_hi, cur_lo = hi, lo
+        for _ in range(2):
+            h2, l2, e2 = finish(*_refit_bases(rgb, flip, cur_hi, cur_lo))
+            better = e2 < err
+            hi = jnp.where(better, h2, hi)
+            lo = jnp.where(better, l2, lo)
+            err = jnp.where(better, e2, err)
+            cur_hi, cur_lo = h2, l2
+
+        if best is None:
+            best = (hi, lo, err)
+        else:
+            better = err < best[2]
+            best = (jnp.where(better, hi, best[0]),
+                    jnp.where(better, lo, best[1]),
+                    jnp.where(better, err, best[2]))
+
+    return words_to_bytes(best[0], best[1])
 
 
 # ---------------------------------------------------------------------------
