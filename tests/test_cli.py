@@ -110,3 +110,37 @@ def test_cli_rejects_bad_input(rng, tmp_path):
     assert main(["encode", "--codec", "pvrtc", "--input",
                  str(tmp_path / "img12.npy"),
                  "--archive", str(tmp_path / "b.txc")]) == 1
+
+
+def test_cli_transcode_quality_high(rng, tmp_path):
+    """transcode-dxt1-etc1 --quality high: HQ re-encode, still decodable,
+    and never worse than the reference transcode vs the DXT1 pixels."""
+    import jax.numpy as jnp
+
+    from texcomp.codecs import dxt as dxt_codec
+    from texcomp.codecs import etc as etc_codec
+    from texcomp.utils import load_archive
+
+    img = make_test_image(rng, 24, 20, 3)
+    np.save(tmp_path / "img.npy", img)
+    a_ref = str(tmp_path / "ref.txc")
+    a_hq = str(tmp_path / "hq.txc")
+    for a in (a_ref, a_hq):
+        assert main(["encode", "--codec", "dxt1", "--input",
+                     str(tmp_path / "img.npy"), "--archive", a]) == 0
+    dxt_blocks = load_archive(a_ref)["img"].get_data().reshape(-1, 8).copy()
+
+    assert main(["transcode-dxt1-etc1", "--archive", a_ref,
+                 "--name", "img"]) == 0
+    assert main(["transcode-dxt1-etc1", "--archive", a_hq,
+                 "--name", "img", "--quality", "high"]) == 0
+
+    pixels = np.asarray(dxt_codec.decode_dxt1_blocks(jnp.asarray(dxt_blocks)))
+    err = {}
+    for a in (a_ref, a_hq):
+        blocks = load_archive(a)["img"].get_data().reshape(-1, 8)
+        dec = np.asarray(etc_codec.decode_etc1_blocks(jnp.asarray(blocks)))
+        err[a] = np.sum((dec - pixels) ** 2)
+    assert err[a_hq] <= err[a_ref]
+    assert main(["decode", "--archive", a_hq, "--name", "img",
+                 "--output", str(tmp_path / "dec.npy")]) == 0

@@ -224,3 +224,40 @@ def test_etc_hq_never_worse_and_better(rng):
 
     with pytest.raises(ValueError):
         EtcCompressor(quality="ultra")
+
+
+def test_transcode_hq_never_worse(rng):
+    """transcode quality='high' (EXTENSION): decoded error vs the DXT1
+    pixels is never worse than the reference heuristic transcode, and the
+    reference path is untouched by the knob."""
+    import jax.numpy as jnp
+
+    from texcomp.api.transcode import (
+        transcode_dxt1_to_etc1_blocks,
+        transcode_dxt1_to_etc1_blocks_hq,
+    )
+    from texcomp.codecs import dxt as dxt_codec
+
+    h, w = 36, 28
+    img = make_test_image(rng, h, w, 3)
+    dc = DxtcCompressor()
+    ci = CompressedImage()
+    assert dc.compress(Format.RGB, h, w, 0, img.tobytes(), ci)
+    blocks = jnp.asarray(ci.get_data().reshape(-1, 8))
+
+    pixels = np.asarray(dxt_codec.decode_dxt1_blocks(blocks))
+    ref = np.asarray(transcode_dxt1_to_etc1_blocks(blocks))
+    hq = np.asarray(transcode_dxt1_to_etc1_blocks_hq(blocks))
+    dref = np.asarray(etc_codec.decode_etc1_blocks(jnp.asarray(ref)))
+    dhq = np.asarray(etc_codec.decode_etc1_blocks(jnp.asarray(hq)))
+    eref = np.sum((dref - pixels) ** 2, axis=(1, 2))
+    ehq = np.sum((dhq - pixels) ** 2, axis=(1, 2))
+    assert np.all(ehq <= eref)
+    assert np.sum(ehq < eref) > 0
+
+    # In-place API: quality='high' rewrites the payload with the HQ blocks.
+    transcode_dxt1_to_etc1(ci, quality="high")
+    np.testing.assert_array_equal(ci.get_data().reshape(-1, 8), hq)
+
+    with pytest.raises(ValueError):
+        transcode_dxt1_to_etc1(ci, quality="ultra")

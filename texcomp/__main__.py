@@ -142,7 +142,7 @@ def cmd_transcode(args) -> int:
         print("error: transcode source must be a DXT1 (RGB dxtc) texture",
               file=sys.stderr)
         return 1
-    transcode_dxt1_to_etc1(ci)
+    transcode_dxt1_to_etc1(ci, quality=args.quality)
     md = ci.get_metadata()
     md.compressor_name = "etc"
     save_archive(args.archive, textures)
@@ -205,6 +205,9 @@ def main(argv=None) -> int:
                        help="transcode a DXT1 texture to ETC1 in place")
     t.add_argument("--archive", required=True)
     t.add_argument("--name", required=True)
+    t.add_argument("--quality", choices=["reference", "high"],
+                   default="reference",
+                   help="high: HQ ETC1 re-encode (never worse)")
     t.set_defaults(fn=cmd_transcode)
 
     m = sub.add_parser("mipmap",
