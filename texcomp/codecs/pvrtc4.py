@@ -116,7 +116,10 @@ def _modulate4(planes, a_up, b_up):
     best_diff = diff0
     alive = jnp.ones_like(diff0, dtype=bool)
     for mod, (s0, s1) in ((1, (5, 3)), (2, (3, 5)), (3, (0, 8))):
-        cand = [(s0 * a + s1 * b) // 8 for a, b in zip(a_up, b_up)]
+        if (s0, s1) == (0, 8):
+            cand = b_up  # (0*a + 8*b)//8 == b exactly; XLA can't prove it
+        else:
+            cand = [(s0 * a + s1 * b) // 8 for a, b in zip(a_up, b_up)]
         diff = sum(jnp.abs(p - c) for p, c in zip(planes, cand))
         take = alive & (diff < best_diff)
         best = jnp.where(take, mod, best)
