@@ -371,6 +371,25 @@ def _hq_alpha(a, ref_a0, ref_a1, ref_codes_err):
         best_a1 = jnp.where(better, a1, best_a1)
         best_codes = jnp.where(better[:, None], codes, best_codes)
         best_err = jnp.minimum(err, best_err)
+
+    # ±1 neighborhood of the converged endpoints, scored by the exact
+    # decode ramp (any (a0, a1) pair is decodable — the scheme is derived
+    # from the ordering, so no validity gate is needed). The LS optimum
+    # rounds each endpoint independently; the best joint pair often sits
+    # one step off.
+    ca0, ca1 = best_a0, best_a1
+    for d0 in (-1, 0, 1):
+        for d1 in (-1, 0, 1):
+            if d0 == 0 and d1 == 0:
+                continue
+            a0 = jnp.clip(ca0 + d0, 0, 255)
+            a1 = jnp.clip(ca1 + d1, 0, 255)
+            codes, err = _alpha_assign(a, a0, a1)
+            better = err < best_err
+            best_a0 = jnp.where(better, a0, best_a0)
+            best_a1 = jnp.where(better, a1, best_a1)
+            best_codes = jnp.where(better[:, None], codes, best_codes)
+            best_err = jnp.minimum(err, best_err)
     return best_a0, best_a1, best_codes
 
 

@@ -89,6 +89,30 @@ def roundtrip(img: np.ndarray, codec: str, quality: str) -> tuple[np.ndarray, by
     return dec[..., :3], bytes(ci.get_data())
 
 
+def alpha_psnr(img: np.ndarray, quality: str) -> float:
+    """DXT5 alpha-channel PSNR with a deterministic synthetic alpha plane
+    (smooth gradient + noise — typical soft-mask statistics; the photos
+    themselves have no alpha)."""
+    from texcomp import CompressedImage, DxtcCompressor, Format
+
+    h, w = img.shape[:2]
+    rng = np.random.default_rng(42)
+    yy, xx = np.mgrid[0:h, 0:w]
+    alpha = np.clip(
+        255 * (0.6 * xx / w + 0.4 * yy / h) + rng.normal(0, 18, (h, w)),
+        0, 255).astype(np.uint8)
+    rgba = np.concatenate([img[..., :3], alpha[..., None]], -1)
+    comp = DxtcCompressor(quality=quality)
+    ci = CompressedImage()
+    if not comp.compress(Format.RGBA, h, w, 0, rgba.tobytes(), ci):
+        raise RuntimeError("dxt5 compress failed")
+    buf = bytearray()
+    if not comp.decompress(ci, buf):
+        raise RuntimeError("dxt5 decompress failed")
+    dec = np.frombuffer(bytes(buf), np.uint8).reshape(h, w, 4)
+    return psnr(dec[..., 3], alpha)
+
+
 def oracle_bytes(img: np.ndarray, codec: str):
     """Reference C++ payload for parity verification (None if unavailable)."""
     try:
@@ -137,6 +161,13 @@ def main() -> int:
         rows.append(row)
         print(row)
     parity_ok = parity_checks > 0 and parity_fails == 0
+
+    alpha_rows = []
+    for name, img in sorted(images.items()):
+        ar = alpha_psnr(img, "reference")
+        ah = alpha_psnr(img, "high")
+        alpha_rows.append((f"{name} ({img.shape[0]}x{img.shape[1]})", ar, ah))
+        print(alpha_rows[-1])
 
     # square-power-of-two crops for PVRTC (it rejects other sizes)
     pv_rows = []
@@ -196,6 +227,18 @@ def main() -> int:
         "PSNR in dB over RGB channels. HQ mode (quality=\"high\") is the",
         "PCA + least-squares extension; per-block never-worse vs reference is",
         "enforced in-kernel and tested (tests/test_dxt_hq.py).",
+        "",
+        "## DXT5 alpha channel (synthetic smooth alpha over the photos)",
+        "",
+        "| image | alpha ref | alpha HQ | gain |",
+        "|---|---|---|---|",
+    ] + [f"| {n} | {p:.2f} | {q:.2f} | **+{q - p:.2f}** |"
+         for n, p, q in alpha_rows] + [
+        "",
+        "Alpha-plane PSNR with a deterministic gradient+noise alpha (the",
+        "photos have none). HQ refits both alpha ramp schemes by least",
+        "squares and searches a ±1 endpoint neighborhood, per-block",
+        "never-worse vs the reference's extreme-based endpoints.",
         "",
         "## PVRTC 2BPP (square power-of-two crops)",
         "",
