@@ -89,6 +89,14 @@ def bench_pvrtc_encode(h: int = 2048, w: int = 2048) -> float:
     return (h * w) / dt / 1e6
 
 
+def bench_pvrtc4_encode(h: int = 2048, w: int = 2048) -> float:
+    """4bpp extension codec — BASELINE config 4 names PVRTC 4bpp."""
+    from texcomp.codecs.pvrtc4 import encode_pvrtc_4bpp_device
+
+    dt = _time_op(encode_pvrtc_4bpp_device, _rand_image(h, w, 4))
+    return (h * w) / dt / 1e6
+
+
 def bench_mipmap_chain(size: int = 2048) -> float:
     """Full DXT5 mipmap chain from a size^2 level-0 payload — BASELINE
     config 2's workload — as ONE fused device program. Throughput counts
@@ -160,7 +168,8 @@ _EXTRA_BENCHES = {
     "dxt5_encode": bench_dxt5_encode,       # BASELINE config 2
     "dxt5_mipmap": bench_mipmap_chain,      # BASELINE config 2 (chain)
     "etc1_encode": bench_etc1_encode,       # BASELINE config 3
-    "pvrtc_encode": bench_pvrtc_encode,     # BASELINE config 4
+    "pvrtc_encode": bench_pvrtc_encode,     # BASELINE config 4 (2bpp parity bar)
+    "pvrtc4_encode": bench_pvrtc4_encode,   # BASELINE config 4 (4bpp extension)
     "pipeline_mixed": bench_pipeline,       # BASELINE config 5 (1-chip slice)
     "transcode_dxt1_etc1": bench_transcode,
     "dxt1_decode": bench_dxt1_decode,
