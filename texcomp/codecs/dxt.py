@@ -171,15 +171,19 @@ def _encode_dxt1_words(rgb: jax.Array, always_4_color: bool,
     )
     d = pal_lum[:, None, :] - lum[:, :, None]  # (N, 16, 4)
     which = jnp.argmin(d * d, axis=-1)  # first-occurrence tie-break
-    # Row bytes: bits for pixel (y, x) at bit 2x of byte y
-    # (dxtc_compressor.cc:330-347).
-    shifts = jnp.arange(4, dtype=jnp.int32) * 2
-    gen_rows = jnp.sum(which.reshape(-1, 4, 4) << shifts[None, None, :], axis=-1)
+    gen_rows = _pack_rows(which)
 
     c0_16 = jnp.where(is_const, const_c0, gen_c0)
     c1_16 = jnp.where(is_const, const_c1, gen_c1)
     rows = jnp.where(is_const[:, None], const_row[:, None], gen_rows)
     return c0_16, c1_16, rows
+
+
+def _pack_rows(codes):
+    """(N, 16) 2-bit pixel codes -> (N, 4) row bytes: bits for pixel
+    (y, x) at bit 2x of byte y (dxtc_compressor.cc:330-347)."""
+    shifts = jnp.arange(4, dtype=jnp.int32) * 2
+    return jnp.sum(codes.reshape(-1, 4, 4) << shifts[None, None, :], axis=-1)
 
 
 def _dxt1_bytes(c0_16, c1_16, rows):

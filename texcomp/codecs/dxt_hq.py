@@ -134,9 +134,7 @@ def _perturb_565(c, ch: int, d: int):
     return (c & ~(((1 << bits) - 1) << shift)) | (f2 << shift)
 
 
-def _pack_rows(codes):
-    shifts = jnp.arange(4, dtype=jnp.int32) * 2
-    return jnp.sum(codes.reshape(-1, 4, 4) << shifts[None, None, :], axis=-1)
+_pack_rows = dxt_ref._pack_rows
 
 
 def _hq_color_words(rgb):

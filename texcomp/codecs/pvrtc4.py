@@ -30,6 +30,7 @@ from texcomp.ops.pvrtc_fast import (
     _encode_colors,
     _first_max,
     _first_min,
+    _modulate_planes,
     _reduce_a,
 )
 
@@ -109,23 +110,9 @@ def _upscale4(low_ch, nb: int):
     return (wa * c00 + wb * c01 + wc * c10 + wd * c11) // (BLOCK * BLOCK)
 
 
-def _modulate4(planes, a_up, b_up):
-    """Early-exit best-of-4 modulation (BestModulation semantics)."""
-    diff0 = sum(jnp.abs(p - c) for p, c in zip(planes, a_up))
-    best = jnp.zeros_like(diff0)
-    best_diff = diff0
-    alive = jnp.ones_like(diff0, dtype=bool)
-    for mod, (s0, s1) in ((1, (5, 3)), (2, (3, 5)), (3, (0, 8))):
-        if (s0, s1) == (0, 8):
-            cand = b_up  # (0*a + 8*b)//8 == b exactly; XLA can't prove it
-        else:
-            cand = [(s0 * a + s1 * b) // 8 for a, b in zip(a_up, b_up)]
-        diff = sum(jnp.abs(p - c) for p, c in zip(planes, cand))
-        take = alive & (diff < best_diff)
-        best = jnp.where(take, mod, best)
-        best_diff = jnp.where(take, diff, best_diff)
-        alive = take
-    return best  # (16, NB)
+# Early-exit best-of-4 modulation: layout-agnostic, shared with the 2bpp
+# pipeline (identical BestModulation semantics on (16, NB) planes here).
+_modulate4 = _modulate_planes
 
 
 @jax.jit
