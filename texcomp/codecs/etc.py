@@ -437,6 +437,17 @@ def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
         candidates = [finish(q1t[0], q2t[0], q1t[1], q2t[1]),
                       finish(q1r[0], q2r[0], q1r[1], q2r[1])]
 
+        # Clamped-delta candidates: when a channel delta falls outside
+        # differential mode's [-4, 3], the reference drops to 444+444
+        # individual mode for the whole block. Clamping one base toward
+        # the other keeps 555 precision on both subblocks — a candidate
+        # the reference never tries (the 444 halves still compete via the
+        # families above).
+        q2c = [jnp.clip(b, a - 4, a + 3) for a, b in zip(q1r[0], q2r[0])]
+        q1c = [jnp.clip(a, b - 3, b + 4) for a, b in zip(q1r[0], q2r[0])]
+        candidates.append(finish(q1r[0], q2c, q1r[1], q2r[1]))
+        candidates.append(finish(q1c, q2r[0], q1r[1], q2r[1]))
+
         for sb in (0, 1):
             for ch in range(3):
                 for d in (-1, 1):
