@@ -322,3 +322,31 @@ def test_pipeline_hq_quality(rng):
         np.testing.assert_array_equal(
             np.asarray(results[f"p{i}"].get_data()),
             np.asarray(ci.get_data()), err_msg=f"p{i}")
+
+
+def test_pvrtc_atlas_sharded_matches_single_device(rng):
+    """PVRTC block-row sharding: the upscale/mode-decision halo exchanges
+    (ppermute over "data") reproduce the single-device wrap exactly."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from texcomp.dist.mesh import pvrtc_encode_atlas_sharded
+    from texcomp.ops.pvrtc_fast import encode_pvrtc_2bpp_fast
+
+    _need_devices(8)
+    img = make_test_image(rng, 128, 128, 4)
+    img = img.copy()
+    img[0:8] = 0          # all-zero region spanning the first shard
+    img[60:68] = img[4:12]  # correlated rows across a shard boundary
+    j = jnp.asarray(img)
+
+    ref = np.asarray(encode_pvrtc_2bpp_fast(j))
+    m1 = Mesh(np.array(jax.devices()[:1]), ("data",))
+    m8 = Mesh(np.array(jax.devices()[:8]), ("data",))
+    out1 = np.asarray(pvrtc_encode_atlas_sharded(j, m1))
+    out8 = np.asarray(pvrtc_encode_atlas_sharded(j, m8))
+    np.testing.assert_array_equal(out1, ref)
+    np.testing.assert_array_equal(out8, ref)
+
+    with pytest.raises(ValueError):
+        pvrtc_encode_atlas_sharded(jnp.asarray(img[:, :64]), m8)  # not square

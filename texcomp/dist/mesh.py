@@ -90,8 +90,8 @@ def encode_atlas_sharded(image: jax.Array, mesh: Mesh, codec: str = "dxt1",
     horizontal strip with zero communication; results concatenate along
     the block axis. This is the single-image analog of data parallelism —
     use it when one texture is too large (or too latency-critical) for one
-    chip. (PVRTC is excluded: its bilinear upscale reads wrap-around
-    neighborhoods across strip boundaries.)
+    chip. (PVRTC needs halo exchanges for its wrap-around neighborhoods —
+    see :func:`pvrtc_encode_atlas_sharded`.)
     """
     from texcomp.ops import (dxt1_encode_image_op, dxt5_encode_image_op,
                              etc1_encode_image_op)
@@ -124,6 +124,48 @@ def encode_atlas_sharded(image: jax.Array, mesh: Mesh, codec: str = "dxt1",
 def dxt1_encode_atlas_sharded(image: jax.Array, mesh: Mesh) -> jax.Array:
     """DXT1 wrapper around :func:`encode_atlas_sharded`."""
     return encode_atlas_sharded(image, mesh, "dxt1")
+
+
+def pvrtc_encode_atlas_sharded(image: jax.Array, mesh: Mesh) -> jax.Array:
+    """Encode ONE PVRTC 2BPP texture with its block rows sharded across
+    chips. (S, S, 4) uint8, S square power-of-two with S/4 block rows
+    splitting evenly over the mesh's "data" axis -> (NB, 8) uint8 Z-order
+    records, byte-identical to the single-device encoder.
+
+    Unlike the 4x4 codecs (zero communication), PVRTC's bilinear upscale
+    and mode decision read one-block-row neighborhoods with image wrap
+    (pvrtc_compressor.cc:216-233, :417-429), so each shard exchanges
+    exactly three halo rows with its mesh neighbors over ICI
+    (jax.lax.ppermute): the low-res A and B rows for the upscale and the
+    first modulation row for the vertical-neighbor counts. The Z-order
+    output permutation is applied to the gathered row-major words."""
+    from texcomp.ops import pvrtc_fast as pf
+
+    ndata = int(mesh.shape["data"])
+    h, w = int(image.shape[0]), int(image.shape[1])
+    if h != w or h & (h - 1) or image.shape[2] != 4:
+        raise ValueError(
+            f"PVRTC atlas must be square power-of-two RGBA, got {image.shape}")
+    nby = h // pf.BLOCK_H
+    if nby % ndata != 0:
+        raise ValueError(
+            f"atlas block rows ({nby}) must split evenly over "
+            f"{ndata} 'data' shards")
+    pixel00 = image[0, 0, :]  # replicated global quirk pixel
+
+    def local(img_local, p00):
+        p = [p00[c].astype(jnp.int32).reshape(1, 1) for c in range(4)]
+        return pf._encode_rowmajor_words(img_local, p, axis_name="data")
+
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("data"), P()), out_specs=P(None, "data"),
+            check_vma=False,
+        )
+    )
+    words = fn(image, pixel00)
+    return pf._zorder_payload(words, nby, w // pf.BLOCK_W)
 
 
 def training_step_multichip(n_devices: int) -> None:

@@ -165,14 +165,14 @@ def _reduce_a(ch4, is_b: bool):
     ]
 
 
-def _morph_planes(planes, image):
+def _morph_planes(planes, pixel00):
     """GetExtremesFast + reduction over all blocks (pvrtc_compressor.cc
-    :255-329, :506-521). planes: 4 x (32, NB). Returns (A, B) as 4-lists of
-    (1, NB)."""
+    :255-329, :506-521). planes: 4 x (32, NB). pixel00: 4-list of (1, 1)
+    int32 — the GLOBAL image pixel (0, 0), the all-zero-axis fallback
+    (pvrtc_compressor.cc:266-301). Returns (A, B) as 4-lists of (1, NB)."""
     r, g, b, a = planes
     lightness = (77 * r + 150 * g + 28 * b) // 256
     axes = [lightness, r, g, b, a]
-    pixel00 = [image[0, 0, c].astype(jnp.int32)[None, None] for c in range(4)]
 
     best_diff = None
     best_lo = None
@@ -198,20 +198,37 @@ def _morph_planes(planes, image):
     return _reduce_a(lo, is_b=False), _reduce_a(hi, is_b=True)
 
 
-def _upscale_planes(low_ch, nby: int, nbx: int):
+def _upscale_planes(low_ch, nby: int, nbx: int,
+                    halo_top=None, halo_bot=None):
     """Bilinear wrap upscale of one channel (1, NB) -> (32, NB) block-plane.
 
     For in-block position (py, px) the 2x2 source corners and weights are
     static (GetInterpolatedColor2BPP, pvrtc_compressor.cc:208-237):
     left block = bx-1 iff px < 4, top block = by-1 iff py < 2;
     x weight = (px+4) & 7, y weight = (py+2) & 3.
+
+    halo_top/halo_bot: (nbx,) rows replacing the y-wrap when the image's
+    block rows are sharded across devices (the previous shard's last row /
+    the next shard's first row); None means single-device (jnp.roll wrap).
     """
     low = low_ch.reshape(nby, nbx)
-    # 9 rolled variants indexed by (dy, dx) in {-1, 0, +1}; roll(+1) brings
+
+    def yvar(dy):
+        """Row-shifted copy: dy=+1 brings the top (by-1) neighbor into
+        position, dy=-1 the bottom (by+1)."""
+        if dy == 0:
+            return low
+        if halo_top is None:
+            return jnp.roll(low, dy, axis=0)
+        if dy == 1:
+            return jnp.concatenate([halo_top.reshape(1, nbx), low[:-1]], 0)
+        return jnp.concatenate([low[1:], halo_bot.reshape(1, nbx)], 0)
+
+    # 9 shifted variants indexed by (dy, dx) in {-1, 0, +1}; roll(+1) brings
     # the left/top neighbor (with wrap) into position.
     var = {}
     for dy in (-1, 0, 1):
-        ry = jnp.roll(low, dy, axis=0) if dy else low
+        ry = yvar(dy)
         for dx in (-1, 0, 1):
             v = jnp.roll(ry, dx, axis=1) if dx else ry
             var[(dy, dx)] = v.reshape(1, -1)
@@ -267,7 +284,7 @@ def _modulate_planes(planes, a_up, b_up):
     return best  # (32, NB)
 
 
-def _neighbor(mod, nby, nbx, direction: str):
+def _neighbor(mod, nby, nbx, direction: str, halo_v=None):
     """Image-wrapped neighbor values in block-plane layout.
 
     Built from whole-group slices + one batched roll (instead of 32 per-row
@@ -283,19 +300,28 @@ def _neighbor(mod, nby, nbx, direction: str):
         shifted = mod.reshape(4, 8, nb)[:, 1:8]  # (4, 7, NB)
         return jnp.concatenate([shifted, rolled], axis=1).reshape(32, nb)
     # (y+1, x): rows 8..31 shift up one block-row; the bottom row group
-    # (py=3) wraps to py=0 of the block below (image-wrapped).
-    rolled = jnp.roll(mod[0:8].reshape(8, nby, nbx), -1, axis=1)
+    # (py=3) wraps to py=0 of the block below (image-wrapped, or the next
+    # shard's first block-row when sharded).
+    m3 = mod[0:8].reshape(8, nby, nbx)
+    if halo_v is None:
+        rolled = jnp.roll(m3, -1, axis=1)
+    else:
+        rolled = jnp.concatenate([m3[:, 1:], halo_v[:, None, :]], axis=1)
     return jnp.concatenate([mod[8:32], rolled.reshape(8, nb)], axis=0)
 
 
-def _modes_planes(mod, nby, nbx):
+def _modes_planes(mod, nby, nbx, halo_v=None):
     """CalculateBlockModulationMode (pvrtc_compressor.cc:395-447) on
     (32, NB). Note the reference's crossed counters: horizontal_count sums
-    vertical-neighbor deltas and vice versa (:417-429)."""
+    vertical-neighbor deltas and vice versa (:417-429).
+
+    halo_v: (8, nbx) — the next shard's first block-row's py=0 modulation
+    rows, replacing the y-wrap when block rows are sharded across devices;
+    None means single-device (jnp.roll wrap)."""
     intermediate = jnp.sum(((mod == 1) | (mod == 2)).astype(jnp.int32),
                            axis=0, keepdims=True)
     nh = _neighbor(mod, nby, nbx, "h")
-    nv = _neighbor(mod, nby, nbx, "v")
+    nv = _neighbor(mod, nby, nbx, "v", halo_v=halo_v)
     horizontal_count = jnp.sum(jnp.abs(mod - nv), axis=0, keepdims=True)
     vertical_count = jnp.sum(jnp.abs(mod - nh), axis=0, keepdims=True)
 
@@ -351,41 +377,87 @@ def _encode_colors(a, b, modes):
     return value | jnp.where(modes == 0, _U32(0), _U32(1))
 
 
-@jax.jit
-def encode_pvrtc_2bpp_fast(image: jax.Array) -> jax.Array:
-    """(H, W, 4) uint8 (square power-of-two) -> (NB, 8) uint8 Z-order
-    PVRTC records; byte-identical to codecs.pvrtc.encode_pvrtc_2bpp_device.
+def _encode_rowmajor_words(image: jax.Array, pixel00,
+                           axis_name: str | None = None) -> jax.Array:
+    """Shared encode pipeline body: (h, W, 4) uint8 -> (2, NB) uint32
+    (modulation word, color word) in row-major block order.
 
     Stages are separated by optimization barriers: letting XLA fuse the
     whole pipeline triggers massive recomputation of the broadcast-heavy
     upscale (measured ~700x slower at 1024^2 on v5e). Barriers force each
-    stage to materialize once.
+    stage to materialize once. Everything crossing a barrier is kept
+    PACKED uint32 (one word per pixel, not 4 int32 planes): barriers force
+    materialization, and at 4096^2 the unpacked planes alone are ~270 MB
+    of HBM traffic per stage; re-unpacking with shifts on the consumer
+    side is ALU-cheap.
+
+    With ``axis_name`` the image's block rows are a shard of a taller
+    atlas distributed over that mesh axis: the y-wraps of the bilinear
+    upscale and of the mode decision's vertical neighbor become one-row
+    halo exchanges over ICI (jax.lax.ppermute) instead of jnp.roll.
+    pixel00: 4-list of (1, 1) int32 — the GLOBAL image pixel (0, 0).
     """
     h, w = image.shape[0], image.shape[1]
     nby, nbx = h // BLOCK_H, w // BLOCK_W
     barrier = jax.lax.optimization_barrier
 
-    # Everything crossing a barrier is kept PACKED uint32 (one word per
-    # pixel, not 4 int32 planes): barriers force materialization, and at
-    # 4096^2 the unpacked planes alone are ~270 MB of HBM traffic per
-    # stage; re-unpacking with shifts on the consumer side is ALU-cheap.
+    if axis_name is not None:
+        n = jax.lax.axis_size(axis_name)
+        fwd = [(i, (i + 1) % n) for i in range(n)]  # receive from prev
+        bwd = [(i, (i - 1) % n) for i in range(n)]  # receive from next
+
+    def halos(ch):
+        """(prev shard's last, next shard's first) low-res rows, or None."""
+        if axis_name is None:
+            return None, None
+        low = ch.reshape(nby, nbx)
+        top = jax.lax.ppermute(low[-1], axis_name, fwd)
+        bot = jax.lax.ppermute(low[0], axis_name, bwd)
+        return top, bot
+
     words32 = barrier(_to_block_words(image))
-    a, b = _morph_planes(_unpack4(words32), image)
+    a, b = _morph_planes(_unpack4(words32), pixel00)
     a = barrier(a)
     b = barrier(b)
-    ab_up = barrier((
-        _pack4([_upscale_planes(c, nby, nbx) for c in a]),
-        _pack4([_upscale_planes(c, nby, nbx) for c in b]),
-    ))
+    ups = []
+    for ch4 in (a, b):
+        up4 = []
+        for c in ch4:
+            ht, hb = halos(c)
+            up4.append(_upscale_planes(c, nby, nbx, halo_top=ht,
+                                       halo_bot=hb))
+        ups.append(_pack4(up4))
+    ab_up = barrier((ups[0], ups[1]))
     mod = barrier(_modulate_planes(
         _unpack4(words32), _unpack4(ab_up[0]), _unpack4(ab_up[1])))
 
-    modes = barrier(_modes_planes(mod, nby, nbx))
+    if axis_name is None:
+        halo_v = None
+    else:
+        first = mod[0:8].reshape(8, nby, nbx)[:, 0]  # (8, nbx)
+        halo_v = jax.lax.ppermute(first, axis_name, bwd)
+    modes = barrier(_modes_planes(mod, nby, nbx, halo_v=halo_v))
     mod_words = _pack_modulation(mod, modes)[0]
     color_words = _encode_colors(a, b, modes)[0]
+    return jnp.stack([mod_words, color_words])
 
-    # Z-order via the MXU-tiled permutation; bytes via LE bitcast, not 8
-    # uint8 lane stacks (8-bit shuffles are slow; see CLAUDE.md playbook).
-    zw = _zorder_words(jnp.stack([mod_words, color_words]), nbx, nby)
+
+def _zorder_payload(words: jax.Array, nby: int, nbx: int) -> jax.Array:
+    """(2, NB) row-major words -> (NB, 8) uint8 Z-order PVRTC records.
+
+    Z-order via the MXU-tiled permutation; bytes via LE bitcast, not 8
+    uint8 lane stacks (8-bit shuffles are slow; see CLAUDE.md playbook)."""
+    zw = _zorder_words(words, nbx, nby)
     both = jnp.stack([zw[0], zw[1]], axis=-1)  # (NB, 2) uint32
     return jax.lax.bitcast_convert_type(both, jnp.uint8).reshape(-1, 8)
+
+
+@jax.jit
+def encode_pvrtc_2bpp_fast(image: jax.Array) -> jax.Array:
+    """(H, W, 4) uint8 (square power-of-two) -> (NB, 8) uint8 Z-order
+    PVRTC records; byte-identical to codecs.pvrtc.encode_pvrtc_2bpp_device.
+    """
+    h, w = image.shape[0], image.shape[1]
+    pixel00 = [image[0, 0, c].astype(jnp.int32)[None, None] for c in range(4)]
+    words = _encode_rowmajor_words(image, pixel00)
+    return _zorder_payload(words, h // BLOCK_H, w // BLOCK_W)
