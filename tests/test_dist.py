@@ -350,3 +350,23 @@ def test_pvrtc_atlas_sharded_matches_single_device(rng):
 
     with pytest.raises(ValueError):
         pvrtc_encode_atlas_sharded(jnp.asarray(img[:, :64]), m8)  # not square
+
+
+def test_pipeline_mipmaps_respect_quality(rng):
+    """mip chains for quality='high' assets use the HQ compressors (same
+    bytes as DxtcCompressor(quality='high').downsample_chain)."""
+    from jax.sharding import Mesh
+
+    from texcomp import DxtcCompressor
+
+    _need_devices(2)
+    pipeline = AssetPipeline(Mesh(np.array(jax.devices()[:2]), ("data",)))
+    img = make_test_image(rng, 16, 16, 3)
+    assets = [TextureAsset("h", img, "dxt1", quality="high")]
+    results = pipeline.run(assets, mipmaps=True)
+
+    chain = DxtcCompressor(quality="high").downsample_chain(results["h"])
+    for lvl, mip in enumerate(chain, start=1):
+        np.testing.assert_array_equal(
+            np.asarray(results[f"h_mip{lvl}"].get_data()),
+            np.asarray(mip.get_data()), err_msg=f"mip{lvl}")

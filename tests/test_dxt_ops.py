@@ -139,3 +139,29 @@ def test_compress_and_pad_oracle_parity(fmt, rng, oracle):
                                       err_msg=f"pad {ph}x{pw}")
         md = ci.get_metadata()
         assert (md.compressed_height, md.compressed_width) == (rch, rcw)
+
+
+def test_downsample_padded_payload_oracle_parity(rng, oracle):
+    """Downsampling a padded image: the reference reads blocks at the
+    uncompressed-grid stride regardless of the payload's larger grid
+    (compressor4x4_helper.h:296-311) — it neither rejects nor crashes."""
+    h = w = 16
+    img = make_test_image(rng, h, w, 3)
+    c, ci = _compress(Format.RGB, h, w, img)
+    padded = CompressedImage()
+    assert c.pad(ci, 32, 32, padded)
+
+    down = CompressedImage()
+    got = c.downsample(padded, down)
+    pmd = padded.get_metadata()
+    ref = oracle.downsample("dxtc", Format.RGB,
+                            pmd.uncompressed_height, pmd.uncompressed_width,
+                            pmd.compressed_height, pmd.compressed_width,
+                            0, padded.get_data())
+    assert got and ref is not None
+    np.testing.assert_array_equal(down.get_data(), ref[0])
+
+    # The chain API likewise accepts padded level-0 payloads.
+    chain = c.downsample_chain(padded)
+    assert len(chain) >= 1
+    np.testing.assert_array_equal(chain[0].get_data(), ref[0])

@@ -104,9 +104,6 @@ class DxtcCompressor(Compressor):
             raise ValueError(f"unknown quality {quality!r}")
         self._quality = quality
 
-    def _use_hq(self, fmt: Format) -> bool:
-        return self._quality == "high"
-
     def _is_dxt1(self, fmt: Format) -> bool:
         return num_format_components(fmt) == 3
 
@@ -115,7 +112,7 @@ class DxtcCompressor(Compressor):
 
     def _codec_fns(self, fmt: Format):
         swap = needs_red_and_blue_swapped(fmt)
-        if self._use_hq(fmt):
+        if self._quality == "high":
             from texcomp.codecs import dxt_hq
 
             if self._is_dxt1(fmt):
@@ -190,7 +187,7 @@ class DxtcCompressor(Compressor):
         in high-quality mode (which has its own block-level path)."""
         from texcomp.ops import use_pallas
 
-        if not use_pallas() or self._use_hq(fmt):
+        if not use_pallas() or self._quality == "high":
             return None
         from texcomp.ops import dxt_pallas
 

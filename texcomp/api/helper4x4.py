@@ -112,8 +112,13 @@ def downsample_chain(compressor, image: CompressedImage, levels: int | None,
     if fused > 0:
         import jax.numpy as jnp
 
+        # Sequential block reads over the uncompressed grid: a padded
+        # payload contributes only its first nbr*nbc blocks (same
+        # convention as decompress; compressor4x4_helper.h:298-311).
+        nblk = num_blocks(h) * num_blocks(w)
         data = jnp.asarray(
-            np.ascontiguousarray(image.get_data()).reshape(-1, block_size))
+            np.ascontiguousarray(image.get_data())
+            .reshape(-1, block_size)[:nblk])
         payloads = mipmap_chain(data, height=h, width=w, codec=codec,
                                 levels=fused, strategy=strategy)
         lh, lw = h, w
@@ -316,7 +321,12 @@ def downsample(
     ):
         return False
 
-    data = image.get_data().reshape(nbr * nbc, block_size)
+    # Sequential block reads over the uncompressed grid (the reference
+    # indexes orig_blocks with num_orig_block_cols strides regardless of
+    # the payload's actual grid, compressor4x4_helper.h:296-311): a padded
+    # payload contributes only its first nbr*nbc blocks, same convention
+    # as decompress above.
+    data = image.get_data().reshape(-1, block_size)[: nbr * nbc]
     components = num_format_components(md.format)
     use_device = (
         encode_image_fn is not None and decode_image_fn is not None

@@ -258,6 +258,23 @@ _YY, _XX = np.mgrid[0:BLOCK_H, 0:BLOCK_W]
 _BITPOS_1BPP = (_YY * 8 + _XX).astype(np.int32)
 _CHECKER = ((_XX ^ _YY) & 1) == 0  # stored pixels in 2BPP modes
 _BITPOS_2BPP = (2 * (_YY * 4 + _XX // 2)).astype(np.int32)
+# Checkerboard positions whose low bit is stolen for the sub-mode flags
+# (bitpos 0 and 20, pvrtc_compressor.cc:470-489): the decoder sees mod&2.
+_FLAGGED_2BPP = ((_BITPOS_2BPP == 0) | (_BITPOS_2BPP == 20)) & _CHECKER
+
+
+def modulation_neighbor_interps(sval):
+    """The decoder's three checkerboard interpolations of a stored
+    modulation image (image-wrapped neighbors; pvrtc_compressor.cc decode
+    model shared by the device decoder and the HQ mode-selection):
+    (average-4, vertical, horizontal)."""
+    up = jnp.roll(sval, 1, axis=0)
+    down = jnp.roll(sval, -1, axis=0)
+    left = jnp.roll(sval, 1, axis=1)
+    right = jnp.roll(sval, -1, axis=1)
+    return ((up + down + left + right + 2) // 4,
+            (up + down + 1) // 2,
+            (left + right + 1) // 2)
 
 
 def _block_modulation_data(mod, modes):
@@ -459,7 +476,7 @@ def decode_pvrtc_2bpp_device(data: jax.Array, *, height: int, width: int) -> jax
     submode_other = (mod_words >> 0) & _U32(1)  # 1 -> vertical/horizontal
     submode_vert = (mod_words >> 20) & _U32(1)  # 1 -> vertical
     # Flag-carrying positions lose their low bit: value is bit&2 -> {0, 2}.
-    flagged = jnp.asarray(((_BITPOS_2BPP == 0) | (_BITPOS_2BPP == 20)) & _CHECKER)
+    flagged = jnp.asarray(_FLAGGED_2BPP)
     bits2 = jnp.where(flagged[None, None], bits2 & 2, bits2)
 
     checker = jnp.asarray(_CHECKER)[None, None]
@@ -468,13 +485,7 @@ def decode_pvrtc_2bpp_device(data: jax.Array, *, height: int, width: int) -> jax
 
     # Interpolate modulation for non-stored checkerboard pixels.
     stored = jnp.tile(jnp.asarray(_CHECKER), (nby, nbx))
-    up = jnp.roll(mod_img, 1, axis=0)
-    down = jnp.roll(mod_img, -1, axis=0)
-    left = jnp.roll(mod_img, 1, axis=1)
-    right = jnp.roll(mod_img, -1, axis=1)
-    avg4 = (up + down + left + right + 2) // 4
-    avg_v = (up + down + 1) // 2
-    avg_h = (left + right + 1) // 2
+    avg4, avg_v, avg_h = modulation_neighbor_interps(mod_img)
 
     sub_other = jnp.repeat(jnp.repeat(
         (submode_other == 1), BLOCK_H, axis=0), BLOCK_W, axis=1)

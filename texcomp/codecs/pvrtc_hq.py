@@ -155,20 +155,15 @@ def _mode_recons(mod, h: int, w: int):
     in every checkerboard mode)."""
     nby, nbx = h // pv.BLOCK_H, w // pv.BLOCK_W
     stored = jnp.tile(jnp.asarray(pv._CHECKER), (nby, nbx))
-    flagged = jnp.tile(
-        jnp.asarray(((pv._BITPOS_2BPP == 0) | (pv._BITPOS_2BPP == 20))
-                    & pv._CHECKER), (nby, nbx))
+    flagged = jnp.tile(jnp.asarray(pv._FLAGGED_2BPP), (nby, nbx))
     sval = jnp.where(flagged, mod & 2, mod)
 
-    up = jnp.roll(sval, 1, axis=0)
-    down = jnp.roll(sval, -1, axis=0)
-    left = jnp.roll(sval, 1, axis=1)
-    right = jnp.roll(sval, -1, axis=1)
+    avg4, avg_v, avg_h = pv.modulation_neighbor_interps(sval)
     return [
-        (mod // 2) * 3,                                        # 0: 1BPP
-        jnp.where(stored, sval, (up + down + left + right + 2) // 4),
-        jnp.where(stored, sval, (up + down + 1) // 2),         # 2: vertical
-        jnp.where(stored, sval, (left + right + 1) // 2),      # 3: horizontal
+        (mod // 2) * 3,                       # 0: 1BPP
+        jnp.where(stored, sval, avg4),        # 1: checkerboard average-4
+        jnp.where(stored, sval, avg_v),       # 2: vertical
+        jnp.where(stored, sval, avg_h),       # 3: horizontal
     ]
 
 

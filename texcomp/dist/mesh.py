@@ -134,11 +134,12 @@ def pvrtc_encode_atlas_sharded(image: jax.Array, mesh: Mesh) -> jax.Array:
 
     Unlike the 4x4 codecs (zero communication), PVRTC's bilinear upscale
     and mode decision read one-block-row neighborhoods with image wrap
-    (pvrtc_compressor.cc:216-233, :417-429), so each shard exchanges
-    exactly three halo rows with its mesh neighbors over ICI
-    (jax.lax.ppermute): the low-res A and B rows for the upscale and the
-    first modulation row for the vertical-neighbor counts. The Z-order
-    output permutation is applied to the gathered row-major words."""
+    (pvrtc_compressor.cc:216-233, :417-429), so each shard runs exactly
+    three ppermute halo exchanges with its mesh neighbors over ICI: the
+    packed A+B last rows (upscale top wrap), the packed A+B first rows
+    (upscale bottom wrap), and the first modulation row group (vertical
+    neighbor counts). The Z-order output permutation is applied to the
+    gathered row-major words."""
     from texcomp.ops import pvrtc_fast as pf
 
     ndata = int(mesh.shape["data"])

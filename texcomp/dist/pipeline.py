@@ -217,11 +217,13 @@ class AssetPipeline:
             for a in assets:
                 if a.codec in ("pvrtc", "pvrtc4"):
                     continue
-                key = (a.codec, a.strategy)
+                quality = getattr(a, "quality", "reference")
+                key = (a.codec, a.strategy, quality)
                 if key not in chainers:
                     chainers[key] = (
-                        EtcCompressor(a.strategy) if a.codec == "etc1"
-                        else DxtcCompressor())
+                        EtcCompressor(a.strategy, quality=quality)
+                        if a.codec == "etc1"
+                        else DxtcCompressor(quality=quality))
                 for lvl, mip in enumerate(
                         chainers[key].downsample_chain(results[a.name]),
                         start=1):

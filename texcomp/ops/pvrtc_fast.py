@@ -406,26 +406,29 @@ def _encode_rowmajor_words(image: jax.Array, pixel00,
         fwd = [(i, (i + 1) % n) for i in range(n)]  # receive from prev
         bwd = [(i, (i - 1) % n) for i in range(n)]  # receive from next
 
-    def halos(ch):
-        """(prev shard's last, next shard's first) low-res rows, or None."""
-        if axis_name is None:
-            return None, None
-        low = ch.reshape(nby, nbx)
-        top = jax.lax.ppermute(low[-1], axis_name, fwd)
-        bot = jax.lax.ppermute(low[0], axis_name, bwd)
-        return top, bot
-
     words32 = barrier(_to_block_words(image))
     a, b = _morph_planes(_unpack4(words32), pixel00)
     a = barrier(a)
     b = barrier(b)
+    none4 = (None,) * 4
+    if axis_name is None:
+        a_halo = b_halo = (none4, none4)
+    else:
+        # Halo rows travel PACKED (one uint32 word per low-res pixel, A
+        # and B stacked): two ppermutes total instead of one per channel
+        # per direction per palette image.
+        aw = _pack4(a).reshape(nby, nbx)
+        bw = _pack4(b).reshape(nby, nbx)
+        tops = jax.lax.ppermute(jnp.stack([aw[-1], bw[-1]]), axis_name, fwd)
+        bots = jax.lax.ppermute(jnp.stack([aw[0], bw[0]]), axis_name, bwd)
+        a_halo = (_unpack4(tops[0]), _unpack4(bots[0]))
+        b_halo = (_unpack4(tops[1]), _unpack4(bots[1]))
     ups = []
-    for ch4 in (a, b):
-        up4 = []
-        for c in ch4:
-            ht, hb = halos(c)
-            up4.append(_upscale_planes(c, nby, nbx, halo_top=ht,
-                                       halo_bot=hb))
+    for ch4, (ht4, hb4) in ((a, a_halo), (b, b_halo)):
+        up4 = [
+            _upscale_planes(c, nby, nbx, halo_top=ht, halo_bot=hb)
+            for c, ht, hb in zip(ch4, ht4, hb4)
+        ]
         ups.append(_pack4(up4))
     ab_up = barrier((ups[0], ups[1]))
     mod = barrier(_modulate_planes(

@@ -74,6 +74,6 @@ def time_op(op, arg, *, iters: int = 9, reps: int = 6) -> float:
     return dt
 
 
-def throughput(op, arg, *, pixels: int, iters: int = 9, reps: int = 3) -> float:
+def throughput(op, arg, *, pixels: int, iters: int = 9, reps: int = 6) -> float:
     """Mpixels/sec of ``op(arg) -> array`` (see :func:`time_op`)."""
     return pixels / time_op(op, arg, iters=iters, reps=reps) / 1e6
