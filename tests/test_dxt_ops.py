@@ -142,26 +142,33 @@ def test_compress_and_pad_oracle_parity(fmt, rng, oracle):
 
 
 def test_downsample_padded_payload_oracle_parity(rng, oracle):
-    """Downsampling a padded image: the reference reads blocks at the
-    uncompressed-grid stride regardless of the payload's larger grid
-    (compressor4x4_helper.h:296-311) — it neither rejects nor crashes."""
+    """Downsampling a payload whose compressed grid is larger than the
+    uncompressed extent (is_valid_compressed_image accepts these; they
+    arise from hand-built metadata / loaded archives): the reference
+    reads blocks at the UNCOMPRESSED-grid stride regardless of the
+    payload's larger grid (compressor4x4_helper.h:296-311) — it neither
+    rejects nor crashes."""
     h = w = 16
     img = make_test_image(rng, h, w, 3)
     c, ci = _compress(Format.RGB, h, w, img)
     padded = CompressedImage()
     assert c.pad(ci, 32, 32, padded)
+    # Rewrite the metadata to claim a smaller uncompressed extent over the
+    # same 8x8-block payload — the mismatched case the validator allows.
+    md = padded.get_metadata()
+    md.uncompressed_height = h
+    md.uncompressed_width = w
+    assert c.is_valid_compressed_image(padded)
 
     down = CompressedImage()
     got = c.downsample(padded, down)
-    pmd = padded.get_metadata()
-    ref = oracle.downsample("dxtc", Format.RGB,
-                            pmd.uncompressed_height, pmd.uncompressed_width,
-                            pmd.compressed_height, pmd.compressed_width,
+    ref = oracle.downsample("dxtc", Format.RGB, h, w,
+                            md.compressed_height, md.compressed_width,
                             0, padded.get_data())
     assert got and ref is not None
     np.testing.assert_array_equal(down.get_data(), ref[0])
 
-    # The chain API likewise accepts padded level-0 payloads.
+    # The chain API likewise accepts such payloads.
     chain = c.downsample_chain(padded)
     assert len(chain) >= 1
     np.testing.assert_array_equal(chain[0].get_data(), ref[0])
