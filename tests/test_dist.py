@@ -370,3 +370,19 @@ def test_pipeline_mipmaps_respect_quality(rng):
         np.testing.assert_array_equal(
             np.asarray(results[f"h_mip{lvl}"].get_data()),
             np.asarray(mip.get_data()), err_msg=f"mip{lvl}")
+
+
+def test_pvrtc_atlas_sharded_two_axis_mesh(rng):
+    """The halo exchanges also compose with a (data, block) mesh — the
+    'block' axis is simply replicated for this op."""
+    import jax.numpy as jnp
+
+    from texcomp.dist.mesh import make_mesh, pvrtc_encode_atlas_sharded
+    from texcomp.ops.pvrtc_fast import encode_pvrtc_2bpp_fast
+
+    _need_devices(8)
+    img = jnp.asarray(make_test_image(rng, 128, 128, 4))
+    ref = np.asarray(encode_pvrtc_2bpp_fast(img))
+    mesh = make_mesh(8, data=4, block=2)
+    out = np.asarray(pvrtc_encode_atlas_sharded(img, mesh))
+    np.testing.assert_array_equal(out, ref)
