@@ -472,13 +472,32 @@ def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
         # seeds the next round so the second iteration explores the new
         # assignment; the keep-best select protects against regressions.
         cur_hi, cur_lo = hi, lo
+        q = None
         for _ in range(2):
-            h2, l2, e2 = finish(*_refit_bases(rgb, flip, cur_hi, cur_lo))
+            q = _refit_bases(rgb, flip, cur_hi, cur_lo)
+            h2, l2, e2 = finish(*q)
             better = e2 < err
             hi = jnp.where(better, h2, hi)
             lo = jnp.where(better, l2, lo)
             err = jnp.where(better, e2, err)
             cur_hi, cur_lo = h2, l2
+
+        # ±1 555 neighborhood around the final refit bases (the LS
+        # optimum rounds each channel independently; the joint best often
+        # sits one code point off — same reasoning as family 3, but
+        # centered on the refit instead of the subblock average).
+        # +0.05 dB on photos for 12 extra candidates per flip.
+        for sb in (0, 1):
+            for ch in range(3):
+                for d in (-1, 1):
+                    p1, p2 = list(q[0]), list(q[1])
+                    (p1 if sb == 0 else p2)[ch] = jnp.clip(
+                        (p1 if sb == 0 else p2)[ch] + d, 0, 31)
+                    h3, l3, e3 = finish(p1, p2, q[2], q[3])
+                    better = e3 < err
+                    hi = jnp.where(better, h3, hi)
+                    lo = jnp.where(better, l3, lo)
+                    err = jnp.where(better, e3, err)
 
         if best is None:
             best = (hi, lo, err)
