@@ -35,7 +35,7 @@ from texcomp.api.etc import EtcCompressor, CompressionStrategy
 from texcomp.api.pvrtc import Pvrtc4bppCompressor, PvrtcCompressor
 from texcomp.api.transcode import transcode_dxt1_to_etc1
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "CompressedImage",
