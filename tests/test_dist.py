@@ -386,3 +386,20 @@ def test_pvrtc_atlas_sharded_two_axis_mesh(rng):
     mesh = make_mesh(8, data=4, block=2)
     out = np.asarray(pvrtc_encode_atlas_sharded(img, mesh))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_pvrtc_atlas_sharded_one_row_per_shard(rng):
+    """Edge case: each shard holds exactly ONE block row, so both upscale
+    y-neighbors come entirely from the halo exchanges."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from texcomp.dist.mesh import pvrtc_encode_atlas_sharded
+    from texcomp.ops.pvrtc_fast import encode_pvrtc_2bpp_fast
+
+    _need_devices(8)
+    img = jnp.asarray(make_test_image(rng, 32, 32, 4))
+    ref = np.asarray(encode_pvrtc_2bpp_fast(img))
+    m8 = Mesh(np.array(jax.devices()[:8]), ("data",))
+    out = np.asarray(pvrtc_encode_atlas_sharded(img, m8))
+    np.testing.assert_array_equal(out, ref)
