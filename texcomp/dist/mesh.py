@@ -144,9 +144,10 @@ def pvrtc_encode_atlas_sharded(image: jax.Array, mesh: Mesh) -> jax.Array:
 
     ndata = int(mesh.shape["data"])
     h, w = int(image.shape[0]), int(image.shape[1])
-    if h != w or h & (h - 1) or image.shape[2] != 4:
+    if h != w or h < 8 or h & (h - 1) or image.shape[2] != 4:
         raise ValueError(
-            f"PVRTC atlas must be square power-of-two RGBA, got {image.shape}")
+            "PVRTC atlas must be square power-of-two RGBA with side >= 8 "
+            f"(one 8x4 block), got {image.shape}")
     nby = h // pf.BLOCK_H
     if nby % ndata != 0:
         raise ValueError(
@@ -166,7 +167,11 @@ def pvrtc_encode_atlas_sharded(image: jax.Array, mesh: Mesh) -> jax.Array:
         )
     )
     words = fn(image, pixel00)
-    return pf._zorder_payload(words, nby, w // pf.BLOCK_W)
+    # The Z-order finisher runs jitted too (static grid dims): eager
+    # dispatch of its ~15 ops on the gathered (2, NB) array costs real
+    # latency through the tunnel, and the single-device encoder runs it
+    # under jit.
+    return pf.zorder_payload_jit(words, nby, w // pf.BLOCK_W)
 
 
 def training_step_multichip(n_devices: int) -> None:

@@ -455,6 +455,11 @@ def _zorder_payload(words: jax.Array, nby: int, nbx: int) -> jax.Array:
     return jax.lax.bitcast_convert_type(both, jnp.uint8).reshape(-1, 8)
 
 
+# Standalone-jitted form (static grid dims) for callers that run the
+# pipeline body under shard_map and finish with the global permutation.
+zorder_payload_jit = jax.jit(_zorder_payload, static_argnums=(1, 2))
+
+
 @jax.jit
 def encode_pvrtc_2bpp_fast(image: jax.Array) -> jax.Array:
     """(H, W, 4) uint8 (square power-of-two) -> (NB, 8) uint8 Z-order
