@@ -493,12 +493,12 @@ def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
             err = jnp.where(better, e2, err)
             cur_hi, cur_lo = h2, l2
 
-        # ±1 555 neighborhood around the final refit bases (the LS
-        # optimum rounds each channel independently; the joint best often
-        # sits one code point off — same reasoning as family 3, but
-        # centered on the refit instead of the subblock average).
-        # +0.05 dB on photos for 12 extra candidates per flip.
-        for h3, l3, e3 in neighborhood(q, ("555",)):
+        # ±1 neighborhood around the final refit bases in both quantized
+        # spaces (the LS optimum rounds each channel independently; the
+        # joint best often sits one code point off — same reasoning as
+        # family 3, but centered on the refit instead of the subblock
+        # average). +0.08 dB on photos for 24 extra candidates per flip.
+        for h3, l3, e3 in neighborhood(q, ("555", "444")):
             better = e3 < err
             hi = jnp.where(better, h3, hi)
             lo = jnp.where(better, l3, lo)
