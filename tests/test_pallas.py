@@ -196,6 +196,29 @@ def test_transcode_kernel_parity(rng):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_pvrtc_morph_kernel_parity(rng):
+    """Pallas morph (interpret mode) == the XLA packed-word morph, which the
+    full-pipeline tests hold byte-identical to the C++ reference."""
+    from texcomp.ops import pvrtc_fast as pf
+
+    n = 600
+    px = rng.integers(0, 2**32, (32, n), dtype=np.uint32)
+    # Ties: duplicated pixels within a block exercise first-occurrence picks.
+    px[:, 50:80] = px[:1, 50:80]
+    px[16:, 100:130] = px[:16, 100:130]
+    # All-zero axes: all-black blocks (lightness/r/g/b all zero) and
+    # zero-alpha blocks hit the global-pixel-(0,0) fallback.
+    px[:, 200:210] = 0
+    px[:, 210:220] &= 0x00FFFFFF
+    px[:, 220:230] = 0xFF000000
+    p00 = np.asarray(rng.integers(0, 2**32, (1, 1), dtype=np.uint32))
+    p00wi = jnp.asarray(p00.astype(np.int32))
+    words = jnp.asarray(px)
+    ref = np.asarray(pf._morph_words(words, p00wi))
+    out = np.asarray(pf.morph_packed(words, p00wi, interpret=True))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_unblock_transpose_roundtrip(rng):
     h, w = 16, 32
     img = rng.integers(0, 2**32, (h, w), dtype=np.uint32)

@@ -20,11 +20,13 @@ Everything is plain XLA; it fuses into a handful of full-width VPU loops.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from texcomp.codecs.pvrtc import (
     BLOCK_H,
@@ -32,6 +34,7 @@ from texcomp.codecs.pvrtc import (
     _apply_bit_depth_reduction,
     zorder_block_permutation,
 )
+from texcomp.ops.dxt_pallas import _pad_lanes, _tile_for
 
 _U32 = jnp.uint32
 _ZTILE = 1024
@@ -165,37 +168,97 @@ def _reduce_a(ch4, is_b: bool):
     ]
 
 
-def _morph_planes(planes, pixel00):
-    """GetExtremesFast + reduction over all blocks (pvrtc_compressor.cc
-    :255-329, :506-521). planes: 4 x (32, NB). pixel00: 4-list of (1, 1)
-    int32 — the GLOBAL image pixel (0, 0), the all-zero-axis fallback
-    (pvrtc_compressor.cc:266-301). Returns (A, B) as 4-lists of (1, NB)."""
-    r, g, b, a = planes
-    lightness = (77 * r + 150 * g + 28 * b) // 256
-    axes = [lightness, r, g, b, a]
+def _morph_words(words, p00wi):
+    """GetExtremesFast + ApplyColorChannelReduction on packed words
+    (pvrtc_compressor.cc:255-329, :337-349, :506-521): (32, T) uint32
+    packed pixels -> (2, T) uint32 packed reduced (A, B).
 
-    best_diff = None
-    best_lo = None
-    best_hi = None
-    for f in axes:
-        lo = _first_min(f, planes)
-        hi = _first_max(f, planes, pixel00)
-        diff = sum(jnp.abs(h - l) for l, h in zip(lo, hi))
+    Extraction trick: the first-occurrence argmin/argmax pull the winning
+    pixel's PACKED word with ONE masked sum per extreme (exactly one hit
+    per lane; done in int32 so Mosaic's plain add-reduction applies — the
+    sign bit is just transported alpha bits) instead of four per-channel
+    masked sums; channels unpack afterwards with shifts.
+
+    p00wi: broadcastable int32 — the bit pattern of the packed GLOBAL image
+    pixel (0, 0), the all-zero-axis fallback (pvrtc_compressor.cc:266-301).
+    Runs under both XLA (CPU fallback) and Mosaic (the Pallas morph kernel).
+    """
+    r, g, b, a = _unpack4(words)
+    # >> 8 == // 256 for the nonneg sum; Mosaic/XLA don't strength-reduce
+    # signed integer division (CLAUDE.md playbook), and an idiv in the hot
+    # kernel is catastrophically slow.
+    lightness = (77 * r + 150 * g + 28 * b) >> 8
+    idx = jax.lax.broadcasted_iota(jnp.int32, words.shape, 0)
+    wi = words.astype(jnp.int32)
+
+    def extreme_word(f, is_max):
+        fx = (jnp.max if is_max else jnp.min)(f, axis=0, keepdims=True)
+        first = jnp.min(jnp.where(f == fx, idx, 32), axis=0, keepdims=True)
+        w = jnp.sum(jnp.where(idx == first, wi, 0), axis=0, keepdims=True)
+        if is_max:
+            # Explicit broadcast: a (1, 1) operand inside this where makes
+            # XLA's scheduling pass explode (see _first_max).
+            w = jnp.where(fx == 0, jnp.broadcast_to(p00wi, w.shape), w)
+        return w
+
+    best_diff = best_lo = best_hi = None
+    for f in (lightness, r, g, b, a):
+        lo_w = extreme_word(f, is_max=False)
+        hi_w = extreme_word(f, is_max=True)
+        diff = sum(jnp.abs(h - l)
+                   for l, h in zip(_unpack4(lo_w), _unpack4(hi_w)))
         if best_diff is None:
-            best_diff = diff
-            best_lo = lo
-            best_hi = hi
+            best_diff, best_lo, best_hi = diff, lo_w, hi_w
         else:
             upd = diff > best_diff  # strictly greater: first pair wins ties
-            best_lo = [jnp.where(upd, n, o) for o, n in zip(best_lo, lo)]
-            best_hi = [jnp.where(upd, n, o) for o, n in zip(best_hi, hi)]
+            best_lo = jnp.where(upd, lo_w, best_lo)
+            best_hi = jnp.where(upd, hi_w, best_hi)
             best_diff = jnp.where(upd, diff, best_diff)
 
     # Order by brightness (sum of channels), swap if needed (:321-328).
-    swap = sum(best_hi) < sum(best_lo)
-    lo = [jnp.where(swap, h, l) for l, h in zip(best_lo, best_hi)]
-    hi = [jnp.where(swap, l, h) for l, h in zip(best_lo, best_hi)]
-    return _reduce_a(lo, is_b=False), _reduce_a(hi, is_b=True)
+    lo4 = _unpack4(best_lo)
+    hi4 = _unpack4(best_hi)
+    swap = sum(hi4) < sum(lo4)
+    lo = [jnp.where(swap, h, l) for l, h in zip(lo4, hi4)]
+    hi = [jnp.where(swap, l, h) for l, h in zip(lo4, hi4)]
+    return jnp.concatenate(
+        [_pack4(_reduce_a(lo, is_b=False)),
+         _pack4(_reduce_a(hi, is_b=True))], axis=0)
+
+
+def _morph_kernel(p00_ref, words_ref, out_ref):
+    out_ref[:] = _morph_words(words_ref[:], p00_ref[0, 0])
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def morph_packed(words32: jax.Array, p00wi: jax.Array,
+                 interpret: bool = False) -> jax.Array:
+    """Pallas morph: (32, N) uint32 packed pixels + (1, 1) int32 packed
+    global pixel (0, 0) -> (2, N) uint32 packed reduced (A, B).
+
+    The XLA form of this stage is the PVRTC pipeline's superlinear term at
+    ≥8192²: its fused 5-axis scan working set spills past VMEM (24 ms at
+    8192² vs 2 ms at 4096² measured). The Pallas grid bounds the working
+    set to one (32, tile) block by construction."""
+    n = words32.shape[1]
+    tile = _tile_for(n)
+    words32 = _pad_lanes(words32, tile)
+    np_ = words32.shape[1]
+    out = pl.pallas_call(
+        _morph_kernel,
+        grid=(np_ // tile,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((32, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, np_), _U32),
+        interpret=interpret,
+    )(p00wi, words32)
+    return out[:, :n]
 
 
 def _upscale_planes(low_ch, nby: int, nbx: int,
@@ -234,8 +297,8 @@ def _upscale_planes(low_ch, nby: int, nbx: int,
             var[(dy, dx)] = v.reshape(1, -1)
 
     s = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
-    py = s // 8
-    px = s % 8
+    py = s >> 3
+    px = s & 7
     left_is_prev = px < 4   # use bx-1 as "left"
     top_is_prev = py < 2    # use by-1 as "top"
     xw = (px + 4) & 7
@@ -262,7 +325,8 @@ def _upscale_planes(low_ch, nby: int, nbx: int,
     wb = (BLOCK_H - yw) * xw
     wc = yw * (BLOCK_W - xw)
     wd = yw * xw
-    return (wa * c00 + wb * c01 + wc * c10 + wd * c11) // (BLOCK_W * BLOCK_H)
+    # >> 5 == // 32 on the nonneg weighted sum (no idiv; see CLAUDE.md).
+    return (wa * c00 + wb * c01 + wc * c10 + wd * c11) >> 5
 
 
 def _modulate_planes(planes, a_up, b_up):
@@ -275,7 +339,7 @@ def _modulate_planes(planes, a_up, b_up):
         if (s0, s1) == (0, 8):
             cand = b_up  # (0*a + 8*b)//8 == b exactly; XLA can't prove it
         else:
-            cand = [(s0 * a + s1 * b) // 8 for a, b in zip(a_up, b_up)]
+            cand = [(s0 * a + s1 * b) >> 3 for a, b in zip(a_up, b_up)]
         diff = sum(jnp.abs(p - c) for p, c in zip(planes, cand))
         take = alive & (diff < best_diff)
         best = jnp.where(take, mod, best)
@@ -336,13 +400,13 @@ def _pack_modulation(mod, modes):
     """CalculateBlockModulationData (pvrtc_compressor.cc:456-496) on
     (32, NB) -> (1, NB) uint32."""
     s = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
-    py = s // 8
-    px = s % 8
+    py = s >> 3
+    px = s & 7
     checker = ((px ^ py) & 1) == 0
-    bp2 = 2 * (py * 4 + px // 2)
+    bp2 = 2 * (py * 4 + (px >> 1))
 
     modu = mod.astype(_U32)
-    word1 = (modu // 2) << s.astype(_U32)
+    word1 = (modu >> 1) << s.astype(_U32)
     word_1bpp = jnp.bitwise_or.reduce(word1, axis=0, keepdims=True)
 
     bits = mod
@@ -407,9 +471,19 @@ def _encode_rowmajor_words(image: jax.Array, pixel00,
         bwd = [(i, (i - 1) % n) for i in range(n)]  # receive from next
 
     words32 = barrier(_to_block_words(image))
-    a, b = _morph_planes(_unpack4(words32), pixel00)
-    a = barrier(a)
-    b = barrier(b)
+    p00wi = _pack4(pixel00).astype(jnp.int32)  # (1, 1) packed bit pattern
+    # The Pallas morph only wins once XLA's fused 5-axis scan spills its
+    # working set (>= ~1M blocks, i.e. >= 8192^2): 4.1 ms vs 11.3 ms there.
+    # Below that the XLA form fuses with its neighbors and the pallas_call
+    # boundary costs more than it saves (1.25 vs 3.3 Gpix/s at 2048^2
+    # measured end-to-end).
+    if jax.default_backend() != "cpu" and words32.shape[1] >= (1 << 20):
+        ab = morph_packed(words32, p00wi)
+    else:
+        ab = _morph_words(words32, p00wi)
+    ab = barrier(ab)
+    a = _unpack4(ab[0:1])
+    b = _unpack4(ab[1:2])
     none4 = (None,) * 4
     if axis_name is None:
         a_halo = b_halo = (none4, none4)
@@ -417,8 +491,8 @@ def _encode_rowmajor_words(image: jax.Array, pixel00,
         # Halo rows travel PACKED (one uint32 word per low-res pixel, A
         # and B stacked): two ppermutes total instead of one per channel
         # per direction per palette image.
-        aw = _pack4(a).reshape(nby, nbx)
-        bw = _pack4(b).reshape(nby, nbx)
+        aw = ab[0].reshape(nby, nbx)
+        bw = ab[1].reshape(nby, nbx)
         tops = jax.lax.ppermute(jnp.stack([aw[-1], bw[-1]]), axis_name, fwd)
         bots = jax.lax.ppermute(jnp.stack([aw[0], bw[0]]), axis_name, bwd)
         a_halo = (_unpack4(tops[0]), _unpack4(bots[0]))
