@@ -20,7 +20,7 @@ reference); tested in tests/test_pallas.py, including interpret mode on CPU.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -67,9 +67,31 @@ def _diff_lum_err(c0, c1):
     return d * d
 
 
+@lru_cache(maxsize=None)
+def _div_magic(d: int, xmax: int):
+    """Exact (m, k) with x // d == (x * m) >> k for all 0 <= x <= xmax,
+    x * m < 2^31. Mosaic/XLA do not strength-reduce integer division by
+    a constant (CLAUDE.md playbook), and an idiv inside a hot kernel is
+    ~10x the cost of the whole surrounding stage — verified brute-force
+    here instead."""
+    x = np.arange(xmax + 1, dtype=np.int64)
+    want = x // d
+    for k in range(8, 31):
+        m = -(-(1 << k) // d)  # ceil
+        if xmax * m < 2**31 and ((x * m) >> k == want).all():
+            return m, k
+    raise AssertionError(f"no int32 magic for /{d} over [0, {xmax}]")
+
+
 def _combine(s0, s1, v0, v1):
-    # Non-negative operands everywhere on this path: trunc == floor.
-    return (s0 * v0 + s1 * v1) // (s0 + s1)
+    # Non-negative 8-bit operands everywhere on this path: trunc == floor,
+    # and the numerator is bounded by 255 * (s0 + s1).
+    num = s0 * v0 + s1 * v1
+    d = s0 + s1
+    if d & (d - 1) == 0:
+        return num >> d.bit_length() - 1
+    m, k = _div_magic(d, 255 * d)
+    return (num * m) >> k
 
 
 def _first_extreme(lum, extreme, channels):
@@ -507,7 +529,7 @@ def _dxt1_color_codes(bits_word, shape):
     """Per-pixel 2-bit codes from the 32-bit index word; pixel (y, x) at
     bits (8y + 2x) (dxtc_compressor.cc:230-236). shape = (16, T)."""
     p = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    sh = 8 * (p // 4) + 2 * (p % 4)
+    sh = 8 * (p >> 2) + 2 * (p & 3)  # shifts: iota div is a real idiv
     return ((jnp.broadcast_to(bits_word, shape).astype(jnp.int32) >> sh) & 3)
 
 
@@ -545,7 +567,7 @@ def _dxt5_decode_kernel(w_ref, out_ref, *, swap):
                           jnp.full_like(a0, 255)))
 
     p = jax.lax.broadcasted_iota(jnp.int32, (16, t), 0)
-    sh = 3 * (p % 8)
+    sh = 3 * (p & 7)
     half = jnp.where(p < 8, jnp.broadcast_to(half0, (16, t)),
                      jnp.broadcast_to(half1, (16, t)))
     acode = (half >> sh) & 7

@@ -101,7 +101,7 @@ def _subblock_search(pg, base, heuristic: bool):
         # the max per-channel absolute deviation — no error tensor needed.
         dev = None
         for ch, bs in zip(pg, base):
-            ad = jnp.sum(jnp.abs(bs - ch), axis=0, keepdims=True) // 8
+            ad = jnp.sum(jnp.abs(bs - ch), axis=0, keepdims=True) >> 3
             dev = ad if dev is None else jnp.maximum(dev, ad)
         cw = jnp.zeros_like(dev)
         for t in ETC1_HEURISTIC_THRESHOLDS.tolist():
@@ -155,8 +155,8 @@ def _encode_flip(rgb_nat, rgb_perm, flip: bool, strategy: int):
     g1 = [ch[0:8] for ch in src]
     g2 = [ch[8:16] for ch in src]
 
-    avg1 = [jnp.sum(ch, axis=0, keepdims=True) // 8 for ch in g1]
-    avg2 = [jnp.sum(ch, axis=0, keepdims=True) // 8 for ch in g2]
+    avg1 = [jnp.sum(ch, axis=0, keepdims=True) >> 3 for ch in g1]
+    avg2 = [jnp.sum(ch, axis=0, keepdims=True) >> 3 for ch in g2]
     q1_555 = [a >> 3 for a in avg1]
     q2_555 = [a >> 3 for a in avg2]
     d555 = [b - a for a, b in zip(q1_555, q2_555)]
@@ -189,9 +189,9 @@ def _encode_flip(rgb_nat, rgb_perm, flip: bool, strategy: int):
     lo = None
     for g, modg in ((0, mod1), (1, mod2)):
         if flip:
-            shift = 4 * (r_i % 4) + 2 * g + r_i // 4
+            shift = 4 * (r_i & 3) + 2 * g + (r_i >> 2)
         else:
-            shift = 4 * (r_i % 2) + 8 * g + r_i // 2
+            shift = 4 * (r_i & 1) + 8 * g + (r_i >> 1)
         shift = shift.astype(_U32)
         modu = modg.astype(_U32)
         bits = ((modu & _U32(1)) << shift) | (
@@ -233,7 +233,7 @@ def _heuristic_flip(rgb):
     sum3 = quad([pos(0, 2), pos(0, 3), pos(1, 2), pos(1, 3)])
     sum4 = quad([pos(2, 2), pos(2, 3), pos(3, 2), pos(2, 2)])
 
-    div8 = lambda v: jnp.sign(v) * (jnp.abs(v) // 8)
+    div8 = lambda v: jnp.sign(v) * (jnp.abs(v) >> 3)
     left = [div8(a + b) for a, b in zip(sum1, sum2)]
     right = [div8(a + b) for a, b in zip(sum3, sum4)]
     top = [div8(a + b) for a, b in zip(sum1, sum3)]
@@ -329,8 +329,8 @@ def _etc1_decode_kernel(w_ref, out_ref):
           for v, d, s in zip(b5, d3, (24, 16, 8))]
 
     p = jax.lax.broadcasted_iota(jnp.int32, (16, t), 0)
-    px = p % 4
-    py = p // 4
+    px = p & 3
+    py = p >> 2
     p_etc = px * 4 + py
     idx = ((jnp.broadcast_to(lo, (16, t)) >> p_etc) & 1) | (
         ((jnp.broadcast_to(lo, (16, t)) >> (p_etc + 16)) & 1) << 1)

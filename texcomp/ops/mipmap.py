@@ -75,8 +75,10 @@ def mipmap_chain(data: jax.Array, *, height: int, width: int, codec: str,
         c = img.shape[-1]
         # Truncating 2x2 average (ComputeAveragePixel2x2 semantics:
         # non-negative sum // 4 == the reference's truncating divide).
+        # >> 2 == // 4 on the nonneg sum (XLA doesn't strength-reduce
+        # signed integer division; see CLAUDE.md playbook).
         avg = (img.astype(jnp.int32).reshape(h, 2, w, 2, c).sum(axis=(1, 3))
-               // 4).astype(jnp.uint8)
+               >> 2).astype(jnp.uint8)
         if codec == "dxt1":
             cur = dxt_pallas.dxt1_encode_image(avg, interpret=interpret)
         elif codec == "dxt5":

@@ -46,10 +46,22 @@ def time_op(op, arg, *, iters: int = 9, reps: int = 6) -> float:
     of the long run, which includes the fixed overhead and therefore only
     understates throughput."""
 
+    def perturb(x, carry):
+        """XOR a carry byte into every element (data dependence across
+        iterations so the compiler can't CSE the op). RGBA uint8 images
+        are xored through a u32[H, W] bitcast: a u8[H, W, 4] value inside
+        the loop body gets layout T(8,128)(4,1) with the size-4 minor axis
+        padded to 128 lanes — a 32x HBM blowup that OOMs at 8192^2."""
+        if x.dtype == jnp.uint8 and x.ndim == 3 and x.shape[-1] == 4:
+            w = jax.lax.bitcast_convert_type(x, jnp.uint32)
+            w = w ^ (carry & jnp.uint32(0xFF)) * jnp.uint32(0x01010101)
+            return jax.lax.bitcast_convert_type(w, jnp.uint8)
+        return x ^ (carry & jnp.uint32(0xFF)).astype(x.dtype)
+
     @partial(jax.jit, static_argnames=("n",))
     def loop(x, n):
         def body(carry, _):
-            out = op(x ^ (carry & jnp.uint32(0xFF)).astype(x.dtype))
+            out = op(perturb(x, carry))
             return out.astype(jnp.uint32).sum(), None
 
         final, _ = jax.lax.scan(body, jnp.uint32(0), None, length=n)
