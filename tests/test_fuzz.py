@@ -23,7 +23,7 @@ _FMT_COMPONENTS = {Format.RGB: 3, Format.BGR: 3, Format.RGBA: 4,
                    Format.BGRA: 4}
 
 
-@pytest.mark.parametrize("trial", range(20))
+@pytest.mark.parametrize("trial", range(200))
 def test_fuzz_differential(trial, oracle):
     rng = np.random.default_rng(10_000 + trial)
     use_etc = trial % 3 == 2
@@ -39,8 +39,12 @@ def test_fuzz_differential(trial, oracle):
         name = "dxtc"
     comps = _FMT_COMPONENTS[fmt]
 
-    h = int(rng.integers(1, 66))
-    w = int(rng.integers(1, 66))
+    if trial % 4 == 3:  # every 4th trial: large, to 256 (stress buckets,
+        h = int(rng.integers(64, 257))  # host packing, partial edge rows)
+        w = int(rng.integers(64, 257))
+    else:
+        h = int(rng.integers(1, 66))
+        w = int(rng.integers(1, 66))
     padding = int(rng.integers(0, 9)) if rng.random() < 0.3 else 0
 
     kind = ["mixed", "solid"][int(rng.random() < 0.25)]
@@ -49,13 +53,37 @@ def test_fuzz_differential(trial, oracle):
     rows = buf.reshape(h, w * comps + padding)
     rows[:, : w * comps] = img.reshape(h, -1)
 
-    # Compress parity.
+    # Compress parity — alternating owned and external (caller-provided
+    # buffer) output storage, mirroring compressed_image.h:84-134.
     ref, ch, cw = oracle.compress(name, fmt, h, w, padding, buf.tobytes(),
                                   strategy=strategy)
-    ci = CompressedImage()
+    use_external = rng.random() < 0.25
+    if use_external:
+        ext = np.zeros(comp.compute_compressed_data_size(fmt, h, w),
+                       dtype=np.uint8)
+        ci = CompressedImage(external_data=ext)
+    else:
+        ci = CompressedImage()
     assert comp.compress(fmt, h, w, padding, buf.tobytes(), ci)
+    assert ci.owns_data() == (not use_external)
     np.testing.assert_array_equal(ci.get_data(), ref,
                                   err_msg=f"compress {name} {fmt} {h}x{w}")
+    if use_external:  # compress really wrote through the caller's buffer
+        np.testing.assert_array_equal(ext[:ci.get_data_size()], ref)
+
+    # duplicate(): deep copy with owned storage regardless of source mode
+    # (compressed_image.h:112-122); fuzz the copy, then use it downstream.
+    if rng.random() < 0.25:
+        dup = CompressedImage()
+        dup.duplicate(ci)
+        assert dup.owns_data()
+        np.testing.assert_array_equal(dup.get_data(), ci.get_data())
+        md, ms = dup.get_metadata(), ci.get_metadata()
+        assert (md.format, md.uncompressed_height, md.uncompressed_width,
+                md.compressed_height, md.compressed_width) == (
+            ms.format, ms.uncompressed_height, ms.uncompressed_width,
+            ms.compressed_height, ms.compressed_width)
+        ci = dup
 
     # Decompress parity (padding == 0 only: the reference's padded-output
     # path overflows its own buffer; see helper4x4.image_array_to_buffer).
@@ -117,7 +145,7 @@ def test_fuzz_differential(trial, oracle):
                                       err_msg=f"compress_and_pad {ph}x{pw}")
 
 
-@pytest.mark.parametrize("trial", range(8))
+@pytest.mark.parametrize("trial", range(24))
 def test_fuzz_decode_arbitrary_payloads(trial, oracle):
     """Decode parity on RANDOM payload bytes (not encoder output): the
     reference decodes arbitrary block words, and several decode quirks
@@ -129,8 +157,9 @@ def test_fuzz_decode_arbitrary_payloads(trial, oracle):
     fmt = (Format.RGB if use_etc
            else [Format.RGB, Format.RGBA][(trial // 2) % 2])
     comps = _FMT_COMPONENTS[fmt]
-    h = int(rng.integers(1, 40))
-    w = int(rng.integers(1, 40))
+    hi = 129 if trial % 4 >= 2 else 40
+    h = int(rng.integers(1, hi))
+    w = int(rng.integers(1, hi))
     ch, cw = 4 * ((h + 3) // 4), 4 * ((w + 3) // 4)
     block_bytes = 8 if (use_etc or comps == 3) else 16
     payload = rng.integers(
