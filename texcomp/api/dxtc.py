@@ -267,9 +267,28 @@ class DxtcCompressor(Compressor):
             dec = lambda data: _decode_dxt5(data, False)
         return h4.downsample(
             enc, dec, image, downsampled_image, self._block_size(fmt),
-            encode_image_fn=self._encode_image_fn(fmt, force_no_swap=True),
-            decode_image_fn=self._decode_image_fn(fmt, force_no_swap=True),
+            downsample_image_fn=self._downsample_image_fn(fmt),
         )
+
+    def _downsample_image_fn(self, fmt: Format):
+        """One fused device program for decode -> 2x2 truncating average ->
+        re-encode (ops/mipmap.mipmap_chain, levels=1); None on CPU backends
+        or in high-quality mode (block-level path). Downsample re-encodes
+        swap-free (compressor4x4_helper.h:602-607), matching the chain."""
+        from texcomp.ops import use_pallas
+
+        if not use_pallas() or self._quality == "high":
+            return None
+        from texcomp.ops.mipmap import mipmap_chain
+
+        codec = "dxt1" if self._is_dxt1(fmt) else "dxt5"
+
+        def fn(data, grid_height, grid_width):
+            d = jnp.asarray(np.ascontiguousarray(data))
+            return mipmap_chain(d, height=grid_height, width=grid_width,
+                                codec=codec, levels=1)[0]
+
+        return fn
 
     def downsample_chain(self, image, levels: int | None = None) -> list:
         """EXTENSION: the full mipmap chain in one call.

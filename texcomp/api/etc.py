@@ -187,9 +187,30 @@ class EtcCompressor(Compressor):
             lambda blocks, outside: _encode(blocks, strategy, quality),
             lambda data: _decode(data),
             image, downsampled_image, _BLOCK_SIZE,
-            encode_image_fn=self._encode_image_fn(),
-            decode_image_fn=self._decode_image_fn(),
+            downsample_image_fn=self._downsample_image_fn(),
         )
+
+    def _downsample_image_fn(self):
+        """One fused device program for decode -> 2x2 truncating average ->
+        re-encode (ops/mipmap.mipmap_chain, levels=1); None on CPU backends
+        or in high-quality mode (block-level path)."""
+        from texcomp.ops import use_pallas
+
+        if not use_pallas() or self._quality == "high":
+            return None
+        from texcomp.ops.mipmap import mipmap_chain
+
+        strategy = self._strategy
+
+        def fn(data, grid_height, grid_width):
+            import jax.numpy as jnp
+
+            d = jnp.asarray(np.ascontiguousarray(data))
+            return mipmap_chain(d, height=grid_height, width=grid_width,
+                                codec="etc1", strategy=strategy,
+                                levels=1)[0]
+
+        return fn
 
     def downsample_chain(self, image, levels: int | None = None) -> list:
         """EXTENSION: the full mipmap chain in one call — byte-identical to

@@ -293,8 +293,7 @@ def downsample(
     image: CompressedImage,
     downsampled_image: CompressedImage,
     block_size: int,
-    encode_image_fn=None,
-    decode_image_fn=None,
+    downsample_image_fn=None,
 ) -> bool:
     """Compressor4x4Helper::Downsample (compressor4x4_helper.h:264-391).
 
@@ -327,24 +326,12 @@ def downsample(
     # payload contributes only its first nbr*nbc blocks, same convention
     # as decompress above.
     data = image.get_data().reshape(-1, block_size)[: nbr * nbc]
-    components = num_format_components(md.format)
-    use_device = (
-        encode_image_fn is not None and decode_image_fn is not None
-        and nbr > 1 and nbc > 1
-    )
-    if use_device:
+    if downsample_image_fn is not None and nbr > 1 and nbc > 1:
         # Device fast path (common case of even multi-block grids):
-        # decode -> 2x2 truncating average -> re-encode, no tiling rules.
-        img_dev = np.asarray(decode_image_fn(data, 4 * nbr, 4 * nbc))
-        img_dev = img_dev[:, :, :components].astype(np.int64)
-        h2, w2 = 2 * nbr, 2 * nbc
-        avg = (
-            img_dev.reshape(h2, 2, w2, 2, components).sum(axis=(1, 3)) // 4
-        ).astype(np.uint8)
-        outside = np.zeros((h2 // 4) * (w2 // 4), dtype=bool)
-        encoded = np.asarray(
-            encode_image_fn(avg, h2, w2, h2, w2, outside)
-        )
+        # decode -> 2x2 truncating average -> re-encode fused into ONE
+        # device program (ops/mipmap.mipmap_chain, levels=1) — no host
+        # averaging hop between two separate device dispatches.
+        encoded = np.asarray(downsample_image_fn(data, 4 * nbr, 4 * nbc))
         downsampled_image.get_mutable_data()[:] = encoded.reshape(-1)
         return True
 
