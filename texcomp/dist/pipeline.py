@@ -210,25 +210,121 @@ class AssetPipeline:
                     results[a.name] = ci
 
         if mipmaps:
-            from texcomp.api.dxtc import DxtcCompressor
-            from texcomp.api.etc import EtcCompressor
-
-            chainers = {}
-            for a in assets:
-                if a.codec in ("pvrtc", "pvrtc4"):
-                    continue
-                quality = getattr(a, "quality", "reference")
-                key = (a.codec, a.strategy, quality)
-                if key not in chainers:
-                    chainers[key] = (
-                        EtcCompressor(a.strategy, quality=quality)
-                        if a.codec == "etc1"
-                        else DxtcCompressor(quality=quality))
-                for lvl, mip in enumerate(
-                        chainers[key].downsample_chain(results[a.name]),
-                        start=1):
-                    results[f"{a.name}_mip{lvl}"] = mip
+            self._run_mipmaps(assets, results)
         return results
+
+    def chain_group(self, payloads: np.ndarray, codec: str, strategy: int,
+                    height: int, width: int, levels: int) -> list[np.ndarray]:
+        """One sharded device program computes the fused mip chains of a
+        whole same-shape batch: (B, N, block_bytes) level-0 payloads ->
+        [(B, N1, bb), ...] per level.
+
+        The batch folds into the image Y axis: a (B*H, W) tall image's
+        block grid is exactly the concatenation of the per-image grids in
+        batch order, and the 2x2 averages never cross image boundaries
+        (H % 8 == 0 for every fused level) — so ONE mipmap_chain program
+        per (shape, codec) group replaces per-asset dispatch."""
+        from texcomp.ops import use_pallas
+        from texcomp.ops.mipmap import mipmap_chain
+
+        b = payloads.shape[0]
+        pad = (-b) % self.ndev
+        if pad:
+            payloads = np.concatenate(
+                [payloads, payloads[:1].repeat(pad, 0)], 0)
+        key = ("chain", codec, strategy, height, width, levels,
+               payloads.shape[0])
+        if key not in self._jitted:
+            mesh = self.mesh
+            interpret = not use_pallas()
+
+            def local(p):
+                bb = p.shape[0]
+                data = p.reshape(bb * p.shape[1], p.shape[2])
+                outs = mipmap_chain(
+                    data, height=bb * height, width=width, codec=codec,
+                    levels=levels, strategy=strategy, interpret=interpret)
+                return tuple(o.reshape(bb, -1, o.shape[-1]) for o in outs)
+
+            self._jitted[key] = jax.jit(lambda p: jax.shard_map(
+                local, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+                check_vma=False)(p))
+        outs = self._jitted[key](jnp.asarray(payloads))
+        return [np.asarray(o)[:b] for o in outs]
+
+    def _run_mipmaps(self, assets: Sequence[TextureAsset],
+                     results: dict[str, CompressedImage]) -> None:
+        from texcomp.api import helper4x4 as h4
+        from texcomp.api.dxtc import DxtcCompressor
+        from texcomp.api.etc import EtcCompressor
+        from texcomp.ops.mipmap import num_chain_levels
+
+        chainers: dict[tuple, object] = {}
+
+        def chainer_for(codec, strategy, quality):
+            key = (codec, strategy, quality)
+            if key not in chainers:
+                chainers[key] = (
+                    EtcCompressor(strategy, quality=quality)
+                    if codec == "etc1" else DxtcCompressor(quality=quality))
+            return chainers[key]
+
+        # Group fused-eligible assets by (codec, strategy, shape): one
+        # batched chain program per group (see chain_group) instead of one
+        # device program per asset per level.
+        fused_groups: dict[tuple, list[TextureAsset]] = {}
+        tail_only: list[TextureAsset] = []
+        for a in assets:
+            if a.codec in ("pvrtc", "pvrtc4"):
+                continue
+            quality = getattr(a, "quality", "reference")
+            h, w = a.image.shape[0], a.image.shape[1]
+            if quality == "reference" and num_chain_levels(h, w) > 0:
+                fused_groups.setdefault(
+                    (a.codec, a.strategy, h, w), []).append(a)
+            else:
+                tail_only.append(a)
+
+        for (codec, strategy, h, w), group in fused_groups.items():
+            levels = num_chain_levels(h, w)
+            nblk = num_blocks(h) * num_blocks(w)
+            for start in range(0, len(group), self.batch_size):
+                chunk = group[start : start + self.batch_size]
+                payloads = np.stack([
+                    np.asarray(results[a.name].get_data())
+                    .reshape(nblk, -1) for a in chunk])
+                outs = self.chain_group(payloads, codec, strategy, h, w,
+                                        levels)
+                for j, a in enumerate(chunk):
+                    lh, lw = h, w
+                    prev = results[a.name]
+                    for lvl in range(levels):
+                        lh //= 2
+                        lw //= 2
+                        md = Metadata(
+                            _FORMATS[codec], _NAMES[codec], lh, lw,
+                            4 * num_blocks(lh), 4 * num_blocks(lw), 0)
+                        payload = outs[lvl][j].reshape(-1)
+                        ci = CompressedImage()
+                        ci.create_owned_data(md, payload.size)
+                        ci.get_mutable_data()[:] = payload
+                        results[f"{a.name}_mip{lvl + 1}"] = ci
+                        prev = ci
+                    # Ragged tail below the fused prefix (per-level API
+                    # path, same as downsample_chain's tail).
+                    tail: list[CompressedImage] = []
+                    h4.downsample_chain_tail(
+                        chainer_for(codec, strategy, "reference"), prev,
+                        tail, None)
+                    for k, mip in enumerate(tail, start=levels + 1):
+                        results[f"{a.name}_mip{k}"] = mip
+
+        for a in tail_only:
+            quality = getattr(a, "quality", "reference")
+            comp = chainer_for(a.codec, a.strategy, quality)
+            for lvl, mip in enumerate(
+                    comp.downsample_chain(results[a.name]), start=1):
+                results[f"{a.name}_mip{lvl}"] = mip
 
 
 def quality_report(pipeline: AssetPipeline, images: np.ndarray,
