@@ -219,6 +219,34 @@ def test_pvrtc_morph_kernel_parity(rng):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_pvrtc_stage_kernels_parity(rng):
+    """Pallas upscale+modulate and modes+pack kernels (interpret mode) ==
+    the XLA bodies, which the full-pipeline tests hold byte-identical to
+    the C++ reference."""
+    from texcomp.ops import pvrtc_fast as pf
+
+    nby, nbx = 8, 64
+    n = nby * nbx
+    px = rng.integers(0, 2**32, (32, n), dtype=np.uint32)
+    px[:, 40:60] = px[:1, 40:60]  # flat blocks -> mode 0 paths
+    words = jnp.asarray(px)
+    p00wi = jnp.asarray(np.array([[7]], np.int32))
+    ab = pf._morph_words(words, p00wi)
+    va9 = pf._make_var_words(ab[0:1], nby, nbx)
+    vb9 = pf._make_var_words(ab[1:2], nby, nbx)
+    ref_mod = np.asarray(pf._upscale_modulate_body(words, va9, vb9))
+    out_mod = np.asarray(pf.upscale_modulate_packed(
+        words, jnp.concatenate([va9, vb9], axis=0), interpret=True))
+    np.testing.assert_array_equal(out_mod, ref_mod)
+
+    mod = jnp.asarray(ref_mod)
+    nh_edge, nv_edge = pf._mode_edges(mod, nby, nbx)
+    ref_w = np.asarray(pf._modes_pack_colors_body(mod, nh_edge, nv_edge, ab))
+    out_w = np.asarray(pf.modes_pack_colors_packed(
+        mod, nh_edge, nv_edge, ab, interpret=True))
+    np.testing.assert_array_equal(out_w, ref_w)
+
+
 def test_unblock_transpose_roundtrip(rng):
     h, w = 16, 32
     img = rng.integers(0, 2**32, (h, w), dtype=np.uint32)

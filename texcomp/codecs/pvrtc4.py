@@ -39,13 +39,20 @@ _U32 = jnp.uint32
 BLOCK = 4  # 4x4 blocks, 2 bits/pixel modulation + 64-bit record = 4 bpp
 
 
-def _morph4(planes, image):
+def _morph4(planes, p00w):
     """Per-4x4-block extremes -> reduced A/B, mirroring GetExtremesFast
-    (pvrtc_compressor.cc:255-329) incl. the all-zero-axis quirk."""
+    (pvrtc_compressor.cc:255-329) incl. the all-zero-axis quirk.
+
+    p00w: (1, 1) uint32 — the PACKED global pixel (0, 0) (extracting it
+    from the (H, W, 4) uint8 image would force XLA to materialize that
+    tensor lane-padded 4->128; see pvrtc_fast._encode_rowmajor_words)."""
+    from texcomp.ops.pvrtc_fast import _unpack4
+
     r, g, b, a = planes
-    lightness = (77 * r + 150 * g + 28 * b) // 256
+    # >> 8 == // 256 on the nonneg sum (no idiv; see CLAUDE.md playbook).
+    lightness = (77 * r + 150 * g + 28 * b) >> 8
     axes = [lightness, r, g, b, a]
-    pixel00 = [image[0, 0, c].astype(jnp.int32)[None, None] for c in range(4)]
+    pixel00 = _unpack4(p00w)
 
     best_diff = None
     best_lo = None
@@ -82,8 +89,8 @@ def _upscale4(low_ch, nb: int):
             var[(dy, dx)] = v.reshape(1, -1)
 
     s = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
-    py = s // 4
-    px = s % 4
+    py = s >> 2
+    px = s & 3
     left_prev = px < 2
     top_prev = py < 2
     xw = (px + 2) & 3
@@ -107,7 +114,8 @@ def _upscale4(low_ch, nb: int):
     wb = (BLOCK - yw) * xw
     wc = yw * (BLOCK - xw)
     wd = yw * xw
-    return (wa * c00 + wb * c01 + wc * c10 + wd * c11) // (BLOCK * BLOCK)
+    # >> 4 == // 16 on the nonneg weighted sum (no idiv; CLAUDE.md).
+    return (wa * c00 + wb * c01 + wc * c10 + wd * c11) >> 4
 
 
 # Early-exit best-of-4 modulation: layout-agnostic, shared with the 2bpp
@@ -131,7 +139,7 @@ def encode_pvrtc_4bpp_device(image: jax.Array) -> jax.Array:
     # barriers materialize, and unpacked planes are 4x the HBM traffic).
     words16 = barrier(_block_transpose_u32(
         jax.lax.bitcast_convert_type(image, jnp.uint32)))
-    a, b = _morph4(_unpack4(words16), image)
+    a, b = _morph4(_unpack4(words16), words16[0:1, 0:1])
     a = barrier(a)
     b = barrier(b)
     ab_up = barrier((
@@ -199,8 +207,8 @@ def decode_pvrtc_4bpp_device(data: jax.Array, *, height: int,
     out = []
     for au, bu in zip(a_up, b_up):
         ch = au
-        ch = jnp.where(mod == 1, (5 * au + 3 * bu) // 8, ch)
-        ch = jnp.where(mod == 2, (3 * au + 5 * bu) // 8, ch)
+        ch = jnp.where(mod == 1, (5 * au + 3 * bu) >> 3, ch)
+        ch = jnp.where(mod == 2, (3 * au + 5 * bu) >> 3, ch)
         ch = jnp.where(mod == 3, bu, ch)
         out.append(jnp.clip(ch, 0, 255))
     px = (out[0].astype(_U32) | (out[1].astype(_U32) << 8)

@@ -261,41 +261,54 @@ def morph_packed(words32: jax.Array, p00wi: jax.Array,
     return out[:, :n]
 
 
-def _upscale_planes(low_ch, nby: int, nbx: int,
+_VAR_DYDX = tuple((dy, dx) for dy in (1, 0, -1) for dx in (1, 0, -1))
+
+
+def _make_var_words(low_words, nby: int, nbx: int,
                     halo_top=None, halo_bot=None):
-    """Bilinear wrap upscale of one channel (1, NB) -> (32, NB) block-plane.
+    """The 9 (dy, dx)-shifted copies of a PACKED low-res image that the
+    bilinear wrap upscale reads: (1, NB) u32 -> (9, NB) u32 in _VAR_DYDX
+    order. roll(+1) brings the top/left (by-1 / bx-1) neighbor into
+    position, image-wrapped.
+
+    halo_top/halo_bot: (nbx,) packed rows replacing the y-wrap when the
+    image's block rows are sharded across devices (the previous shard's
+    last row / the next shard's first row); None = single-device roll.
+
+    Precomputing the variants OUTSIDE the upscale body is what makes the
+    Pallas tiling possible: all cross-block (wrap/halo) addressing happens
+    here on the tiny low-res image, and the per-tile kernel body is purely
+    lane-local."""
+    low = low_words.reshape(nby, nbx)
+    rows = {}
+    for dy in (1, 0, -1):
+        if dy == 0:
+            rows[dy] = low
+        elif halo_top is None:
+            rows[dy] = jnp.roll(low, dy, axis=0)
+        elif dy == 1:
+            rows[dy] = jnp.concatenate(
+                [halo_top.reshape(1, nbx), low[:-1]], 0)
+        else:
+            rows[dy] = jnp.concatenate(
+                [low[1:], halo_bot.reshape(1, nbx)], 0)
+    out = []
+    for dy, dx in _VAR_DYDX:
+        ry = rows[dy]
+        v = jnp.roll(ry, dx, axis=1) if dx else ry
+        out.append(v.reshape(1, -1))
+    return jnp.concatenate(out, axis=0)
+
+
+def _upscale_from_vars(v9):
+    """Bilinear wrap upscale from packed variants: (9, T) u32 -> 4 channel
+    planes (32, T) int32.
 
     For in-block position (py, px) the 2x2 source corners and weights are
     static (GetInterpolatedColor2BPP, pvrtc_compressor.cc:208-237):
     left block = bx-1 iff px < 4, top block = by-1 iff py < 2;
-    x weight = (px+4) & 7, y weight = (py+2) & 3.
-
-    halo_top/halo_bot: (nbx,) rows replacing the y-wrap when the image's
-    block rows are sharded across devices (the previous shard's last row /
-    the next shard's first row); None means single-device (jnp.roll wrap).
-    """
-    low = low_ch.reshape(nby, nbx)
-
-    def yvar(dy):
-        """Row-shifted copy: dy=+1 brings the top (by-1) neighbor into
-        position, dy=-1 the bottom (by+1)."""
-        if dy == 0:
-            return low
-        if halo_top is None:
-            return jnp.roll(low, dy, axis=0)
-        if dy == 1:
-            return jnp.concatenate([halo_top.reshape(1, nbx), low[:-1]], 0)
-        return jnp.concatenate([low[1:], halo_bot.reshape(1, nbx)], 0)
-
-    # 9 shifted variants indexed by (dy, dx) in {-1, 0, +1}; roll(+1) brings
-    # the left/top neighbor (with wrap) into position.
-    var = {}
-    for dy in (-1, 0, 1):
-        ry = yvar(dy)
-        for dx in (-1, 0, 1):
-            v = jnp.roll(ry, dx, axis=1) if dx else ry
-            var[(dy, dx)] = v.reshape(1, -1)
-
+    x weight = (px+4) & 7, y weight = (py+2) & 3."""
+    var = {k: v9[i : i + 1] for i, k in enumerate(_VAR_DYDX)}
     s = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
     py = s >> 3
     px = s & 7
@@ -308,7 +321,8 @@ def _upscale_planes(low_ch, nby: int, nbx: int,
     # c11 = (bottom, right). "right" = left+1: prev-left -> current (0);
     # not-prev-left -> next (-1 roll). Same for bottom. Nested selects: the
     # quadrant masks partition, so 3 wheres per corner beat the 4-masked-add
-    # formulation ~4x.
+    # formulation ~4x. Selects run on PACKED words (one per corner instead
+    # of four per-channel).
     def corner2(dy_pair, dx_pair):
         dy_t, dy_b = dy_pair  # (dy if prev, dy if not prev)
         dx_l, dx_r = dx_pair
@@ -316,17 +330,102 @@ def _upscale_planes(low_ch, nby: int, nbx: int,
         bot = jnp.where(left_is_prev, var[(dy_b, dx_l)], var[(dy_b, dx_r)])
         return jnp.where(top_is_prev, top, bot)
 
-    c00 = corner2((1, 0), (1, 0))
-    c01 = corner2((1, 0), (0, -1))
-    c10 = corner2((0, -1), (1, 0))
-    c11 = corner2((0, -1), (0, -1))
+    corners = [corner2((1, 0), (1, 0)), corner2((1, 0), (0, -1)),
+               corner2((0, -1), (1, 0)), corner2((0, -1), (0, -1))]
 
     wa = (BLOCK_H - yw) * (BLOCK_W - xw)
     wb = (BLOCK_H - yw) * xw
     wc = yw * (BLOCK_W - xw)
     wd = yw * xw
-    # >> 5 == // 32 on the nonneg weighted sum (no idiv; see CLAUDE.md).
-    return (wa * c00 + wb * c01 + wc * c10 + wd * c11) >> 5
+    chans = []
+    for sh in (0, 8, 16, 24):
+        cc = [(c.astype(jnp.int32) >> sh) & 255 for c in corners]
+        # >> 5 == // 32 on the nonneg weighted sum (no idiv; CLAUDE.md).
+        chans.append((wa * cc[0] + wb * cc[1] + wc * cc[2] + wd * cc[3])
+                     >> 5)
+    return chans
+
+
+def _upscale_modulate_body(words, va9, vb9):
+    """(32, T) packed pixels + 2x(9, T) packed low-res variants -> (32, T)
+    int32 modulation. Lane-local (all wrap addressing lives in the
+    variants) — shared by the XLA path and the Pallas kernel."""
+    a_up = _upscale_from_vars(va9)
+    b_up = _upscale_from_vars(vb9)
+    return _modulate_planes(_unpack4(words), a_up, b_up)
+
+
+def _upmod_kernel(words_ref, vab_ref, out_ref):
+    out_ref[:] = _upscale_modulate_body(
+        words_ref[:], vab_ref[0:9], vab_ref[9:18])
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def upscale_modulate_packed(words32: jax.Array, vab: jax.Array,
+                            interpret: bool = False) -> jax.Array:
+    """Pallas upscale+modulate: (32, N) packed pixels + (18, N) packed
+    A/B variants -> (32, N) int32 modulation.
+
+    The XLA form of these stages materializes O(10) full-size (32, NB)
+    int32 intermediates per barrier once its fusion working set spills
+    (~25x over the HBM bound at 8192²); the grid bounds every
+    intermediate to one (32, tile) VMEM block."""
+    n = words32.shape[1]
+    tile = _tile_for(n)
+    words32 = _pad_lanes(words32, tile)
+    vab = _pad_lanes(vab, tile)
+    np_ = words32.shape[1]
+    out = pl.pallas_call(
+        _upmod_kernel,
+        grid=(np_ // tile,),
+        in_specs=[
+            pl.BlockSpec((32, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((18, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((32, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((32, np_), jnp.int32),
+        interpret=interpret,
+    )(words32, vab)
+    return out[:, :n]
+
+
+def _mpc_kernel(mod_ref, nh_ref, nv_ref, ab_ref, out_ref):
+    out_ref[:] = _modes_pack_colors_body(
+        mod_ref[:], nh_ref[:], nv_ref[:], ab_ref[:])
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def modes_pack_colors_packed(mod: jax.Array, nh_edge: jax.Array,
+                             nv_edge: jax.Array, ab: jax.Array,
+                             interpret: bool = False) -> jax.Array:
+    """Pallas mode-decision + packing: -> (2, N) uint32 words."""
+    n = mod.shape[1]
+    tile = _tile_for(n)
+    mod, nh_edge, nv_edge, ab = (
+        _pad_lanes(x, tile) for x in (mod, nh_edge, nv_edge, ab))
+    np_ = mod.shape[1]
+    out = pl.pallas_call(
+        _mpc_kernel,
+        grid=(np_ // tile,),
+        in_specs=[
+            pl.BlockSpec((32, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, np_), _U32),
+        interpret=interpret,
+    )(mod, nh_edge, nv_edge, ab)
+    return out[:, :n]
 
 
 def _modulate_planes(planes, a_up, b_up):
@@ -348,57 +447,40 @@ def _modulate_planes(planes, a_up, b_up):
     return best  # (32, NB)
 
 
-def _neighbor(mod, nby, nbx, direction: str, halo_v=None):
-    """Image-wrapped neighbor values in block-plane layout.
+def _mode_edges(mod, nby, nbx, halo_v=None):
+    """The two cross-block edge tiles the mode decision needs, built in
+    XLA on the small slices (all remaining mode work is lane-local in
+    _modes_pack_colors_body):
 
-    Built from whole-group slices + one batched roll (instead of 32 per-row
-    extracts, which each cost a sublane relayout)."""
+    * nh_edge (4, NB): for each py, the px=0 modulation of the block to
+      the right (image-wrapped) — the px=7 horizontal neighbor.
+    * nv_edge (8, NB): the py=0 rows of the block below (image-wrapped,
+      or the next shard's first block-row when sharded via halo_v).
+    """
     nb = mod.shape[1]
-    if direction == "h":  # (y, x+1)
-        # Within a block, row s's neighbor is s+1; the last in-block column
-        # (px=7) wraps to column 0 (px=0 rows: 0, 8, 16, 24) of the next
-        # block to the right (image-wrapped).
-        col0 = mod.reshape(4, 8, nb)[:, 0]  # (4, NB), px=0 per py
-        rolled = jnp.roll(col0.reshape(4, nby, nbx), -1, axis=2)
-        rolled = rolled.reshape(4, 1, nb)
-        shifted = mod.reshape(4, 8, nb)[:, 1:8]  # (4, 7, NB)
-        return jnp.concatenate([shifted, rolled], axis=1).reshape(32, nb)
-    # (y+1, x): rows 8..31 shift up one block-row; the bottom row group
-    # (py=3) wraps to py=0 of the block below (image-wrapped, or the next
-    # shard's first block-row when sharded).
+    col0 = mod[0::8]  # (4, NB): px=0 row per py
+    nh_edge = jnp.roll(col0.reshape(4, nby, nbx), -1, axis=2).reshape(4, nb)
     m3 = mod[0:8].reshape(8, nby, nbx)
     if halo_v is None:
         rolled = jnp.roll(m3, -1, axis=1)
     else:
         rolled = jnp.concatenate([m3[:, 1:], halo_v[:, None, :]], axis=1)
-    return jnp.concatenate([mod[8:32], rolled.reshape(8, nb)], axis=0)
+    return nh_edge, rolled.reshape(8, nb)
 
 
-def _modes_planes(mod, nby, nbx, halo_v=None):
-    """CalculateBlockModulationMode (pvrtc_compressor.cc:395-447) on
-    (32, NB). Note the reference's crossed counters: horizontal_count sums
-    vertical-neighbor deltas and vice versa (:417-429).
-
-    halo_v: (8, nbx) — the next shard's first block-row's py=0 modulation
-    rows, replacing the y-wrap when block rows are sharded across devices;
-    None means single-device (jnp.roll wrap)."""
-    intermediate = jnp.sum(((mod == 1) | (mod == 2)).astype(jnp.int32),
-                           axis=0, keepdims=True)
-    nh = _neighbor(mod, nby, nbx, "h")
-    nv = _neighbor(mod, nby, nbx, "v", halo_v=halo_v)
-    horizontal_count = jnp.sum(jnp.abs(mod - nv), axis=0, keepdims=True)
-    vertical_count = jnp.sum(jnp.abs(mod - nh), axis=0, keepdims=True)
-
-    vertical = (vertical_count > 10) & (vertical_count > horizontal_count * 2)
-    horizontal = (horizontal_count > 10) & (
-        horizontal_count > vertical_count * 2)
-    mode = jnp.where(vertical, 2, jnp.where(horizontal, 3, 1))
-    return jnp.where(intermediate <= 4, 0, mode)  # (1, NB)
+def _or_tree32(x):
+    """Sublane OR-reduce of (32, T) via aligned slices (Mosaic has no
+    unsigned reductions; also used on the XLA path for parity)."""
+    t = x[0:16] | x[16:32]
+    t = t[0:8] | t[8:16]
+    t = t[0:4] | t[4:8]
+    t = t[0:2] | t[2:4]
+    return t[0:1] | t[1:2]
 
 
 def _pack_modulation(mod, modes):
     """CalculateBlockModulationData (pvrtc_compressor.cc:456-496) on
-    (32, NB) -> (1, NB) uint32."""
+    (32, T) -> (1, T) uint32."""
     s = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
     py = s >> 3
     px = s & 7
@@ -406,8 +488,7 @@ def _pack_modulation(mod, modes):
     bp2 = 2 * (py * 4 + (px >> 1))
 
     modu = mod.astype(_U32)
-    word1 = (modu >> 1) << s.astype(_U32)
-    word_1bpp = jnp.bitwise_or.reduce(word1, axis=0, keepdims=True)
+    word_1bpp = _or_tree32((modu >> 1) << s.astype(_U32))
 
     bits = mod
     at0 = checker & (bp2 == 0)
@@ -418,8 +499,45 @@ def _pack_modulation(mod, modes):
     bits = jnp.where(at20, jnp.where(is_vert, bits | 1, bits & 2), bits)
     word2 = jnp.where(checker, bits.astype(_U32) << bp2.astype(_U32),
                       _U32(0))
-    word_2bpp = jnp.bitwise_or.reduce(word2, axis=0, keepdims=True)
+    word_2bpp = _or_tree32(word2)
     return jnp.where(modes == 0, word_1bpp, word_2bpp)
+
+
+def _modes_pack_colors_body(mod, nh_edge, nv_edge, ab):
+    """Mode decision + modulation/color packing, lane-local:
+    mod (32, T) int32, nh_edge (4, T), nv_edge (8, T), ab (2, T) packed
+    -> (2, T) uint32 (modulation word, color word).
+
+    CalculateBlockModulationMode (pvrtc_compressor.cc:395-447); note the
+    reference's crossed counters — horizontal_count sums vertical-neighbor
+    deltas and vice versa (:417-429)."""
+    # nh: (y, x+1) — within a block row s's neighbor is s+1; the px=7
+    # column takes the edge tile. Built from whole-group slices (per-row
+    # extracts each cost a sublane relayout).
+    parts = []
+    for g in range(4):
+        parts.append(mod[8 * g + 1 : 8 * g + 8])
+        parts.append(nh_edge[g : g + 1])
+    nh = jnp.concatenate(parts, axis=0)
+    # nv: (y+1, x) — rows 8..31 shift up one block-row; py=3 wraps to the
+    # edge tile.
+    nv = jnp.concatenate([mod[8:32], nv_edge], axis=0)
+
+    intermediate = jnp.sum(((mod == 1) | (mod == 2)).astype(jnp.int32),
+                           axis=0, keepdims=True)
+    horizontal_count = jnp.sum(jnp.abs(mod - nv), axis=0, keepdims=True)
+    vertical_count = jnp.sum(jnp.abs(mod - nh), axis=0, keepdims=True)
+
+    vertical = (vertical_count > 10) & (vertical_count > horizontal_count * 2)
+    horizontal = (horizontal_count > 10) & (
+        horizontal_count > vertical_count * 2)
+    mode = jnp.where(vertical, 2, jnp.where(horizontal, 3, 1))
+    modes = jnp.where(intermediate <= 4, 0, mode)  # (1, T)
+
+    mod_words = _pack_modulation(mod, modes)
+    color_words = _encode_colors(_unpack4(ab[0:1]), _unpack4(ab[1:2]),
+                                 modes)
+    return jnp.concatenate([mod_words, color_words], axis=0)
 
 
 def _encode_colors(a, b, modes):
@@ -470,53 +588,63 @@ def _encode_rowmajor_words(image: jax.Array, pixel00,
         fwd = [(i, (i + 1) % n) for i in range(n)]  # receive from prev
         bwd = [(i, (i - 1) % n) for i in range(n)]  # receive from next
 
+    use_pallas = jax.default_backend() != "cpu"
     words32 = barrier(_to_block_words(image))
-    p00wi = _pack4(pixel00).astype(jnp.int32)  # (1, 1) packed bit pattern
+    if pixel00 is None:
+        # Single-image case: the global pixel (0, 0) IS words32[0, 0]
+        # (sublane 0 = in-block (0,0), lane 0 = block (0,0)). Extracting
+        # it from the (H, W, 4) uint8 image instead forces XLA to
+        # materialize that tensor in its lane-padded layout (4 -> 128,
+        # 32x: 8 GB and ~58 ms at 8192^2).
+        p00wi = words32[0:1, 0:1].astype(jnp.int32)
+    else:
+        # Sharded atlas: callers pass the GLOBAL image pixel (0, 0) as a
+        # 4-list of (1, 1) int32 channels (dist/mesh.py).
+        p00wi = _pack4(pixel00).astype(jnp.int32)
     # The Pallas morph only wins once XLA's fused 5-axis scan spills its
     # working set (>= ~1M blocks, i.e. >= 8192^2): 4.1 ms vs 11.3 ms there.
     # Below that the XLA form fuses with its neighbors and the pallas_call
     # boundary costs more than it saves (1.25 vs 3.3 Gpix/s at 2048^2
     # measured end-to-end).
-    if jax.default_backend() != "cpu" and words32.shape[1] >= (1 << 20):
+    if use_pallas and words32.shape[1] >= (1 << 20):
         ab = morph_packed(words32, p00wi)
     else:
         ab = _morph_words(words32, p00wi)
     ab = barrier(ab)
-    a = _unpack4(ab[0:1])
-    b = _unpack4(ab[1:2])
-    none4 = (None,) * 4
     if axis_name is None:
-        a_halo = b_halo = (none4, none4)
+        a_halo = b_halo = (None, None)
     else:
         # Halo rows travel PACKED (one uint32 word per low-res pixel, A
-        # and B stacked): two ppermutes total instead of one per channel
-        # per direction per palette image.
+        # and B stacked): two ppermutes total.
         aw = ab[0].reshape(nby, nbx)
         bw = ab[1].reshape(nby, nbx)
         tops = jax.lax.ppermute(jnp.stack([aw[-1], bw[-1]]), axis_name, fwd)
         bots = jax.lax.ppermute(jnp.stack([aw[0], bw[0]]), axis_name, bwd)
-        a_halo = (_unpack4(tops[0]), _unpack4(bots[0]))
-        b_halo = (_unpack4(tops[1]), _unpack4(bots[1]))
-    ups = []
-    for ch4, (ht4, hb4) in ((a, a_halo), (b, b_halo)):
-        up4 = [
-            _upscale_planes(c, nby, nbx, halo_top=ht, halo_bot=hb)
-            for c, ht, hb in zip(ch4, ht4, hb4)
-        ]
-        ups.append(_pack4(up4))
-    ab_up = barrier((ups[0], ups[1]))
-    mod = barrier(_modulate_planes(
-        _unpack4(words32), _unpack4(ab_up[0]), _unpack4(ab_up[1])))
+        a_halo = (tops[0], bots[0])
+        b_halo = (tops[1], bots[1])
+
+    # Upscale + modulate: all cross-block wrap/halo addressing happens in
+    # the 9 packed low-res variants (tiny); the heavy (32, NB) work is
+    # lane-local, so on TPU it runs as a Pallas grid whose intermediates
+    # stay in VMEM (the XLA form spills superlinearly past ~4096^2).
+    va9 = _make_var_words(ab[0:1], nby, nbx, *a_halo)
+    vb9 = _make_var_words(ab[1:2], nby, nbx, *b_halo)
+    if use_pallas:
+        mod = upscale_modulate_packed(
+            words32, jnp.concatenate([va9, vb9], axis=0))
+    else:
+        mod = _upscale_modulate_body(words32, va9, vb9)
+    mod = barrier(mod)
 
     if axis_name is None:
         halo_v = None
     else:
         first = mod[0:8].reshape(8, nby, nbx)[:, 0]  # (8, nbx)
         halo_v = jax.lax.ppermute(first, axis_name, bwd)
-    modes = barrier(_modes_planes(mod, nby, nbx, halo_v=halo_v))
-    mod_words = _pack_modulation(mod, modes)[0]
-    color_words = _encode_colors(a, b, modes)[0]
-    return jnp.stack([mod_words, color_words])
+    nh_edge, nv_edge = _mode_edges(mod, nby, nbx, halo_v=halo_v)
+    if use_pallas:
+        return modes_pack_colors_packed(mod, nh_edge, nv_edge, ab)
+    return _modes_pack_colors_body(mod, nh_edge, nv_edge, ab)
 
 
 def _zorder_payload(words: jax.Array, nby: int, nbx: int) -> jax.Array:
@@ -540,6 +668,5 @@ def encode_pvrtc_2bpp_fast(image: jax.Array) -> jax.Array:
     PVRTC records; byte-identical to codecs.pvrtc.encode_pvrtc_2bpp_device.
     """
     h, w = image.shape[0], image.shape[1]
-    pixel00 = [image[0, 0, c].astype(jnp.int32)[None, None] for c in range(4)]
-    words = _encode_rowmajor_words(image, pixel00)
+    words = _encode_rowmajor_words(image, None)
     return _zorder_payload(words, h // BLOCK_H, w // BLOCK_W)
