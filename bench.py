@@ -31,6 +31,21 @@ def _rand_image(h, w, c):
     return jax.device_put(rng.integers(0, 256, (h, w, c), dtype=np.uint8))
 
 
+def _rand_image_words(h, w):
+    """(h, w) uint32 — an RGBA image as packed words. RGBA benches pass
+    words and bitcast to (h, w, 4) uint8 inside the op: a u8[H,W,4] jit
+    argument gets copied into the timing loop with the size-4 minor axis
+    lane-padded 4->128 (32x HBM; OOMs at 8192^2)."""
+    rng = np.random.default_rng(0)
+    return jax.device_put(
+        rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        .view(np.uint32).reshape(h, w))
+
+
+def _words_to_image(w32):
+    return jax.lax.bitcast_convert_type(w32, jnp.uint8)
+
+
 def bench_dxt1_encode(h: int = 4096, w: int = 4096) -> float:
     """DXT1 encode Mpixels/sec on the first device.
 
@@ -87,7 +102,8 @@ def bench_etc1_encode(h: int = 2048, w: int = 2048) -> float:
 def bench_pvrtc_encode(h: int = 2048, w: int = 2048) -> float:
     from texcomp.ops import pvrtc_encode_image_op
 
-    dt = _time_op(pvrtc_encode_image_op, _rand_image(h, w, 4))
+    dt = _time_op(lambda w32: pvrtc_encode_image_op(_words_to_image(w32)),
+                  _rand_image_words(h, w))
     return (h * w) / dt / 1e6
 
 
@@ -95,7 +111,8 @@ def bench_pvrtc4_encode(h: int = 2048, w: int = 2048) -> float:
     """4bpp extension codec — BASELINE config 4 names PVRTC 4bpp."""
     from texcomp.codecs.pvrtc4 import encode_pvrtc_4bpp_device
 
-    dt = _time_op(encode_pvrtc_4bpp_device, _rand_image(h, w, 4))
+    dt = _time_op(lambda w32: encode_pvrtc_4bpp_device(_words_to_image(w32)),
+                  _rand_image_words(h, w))
     return (h * w) / dt / 1e6
 
 
@@ -166,6 +183,76 @@ def bench_pipeline(n_textures: int = 256, size: int = 256) -> float:
     return total_pix / (dt3 + dt4) / 1e6
 
 
+# (size, count-per-codec): x4 codecs = 9984 assets, ~1.31 Gpix total —
+# a realistically size-skewed O(10k) fleet (BASELINE config 5 shape).
+_FLEET_DIST = [(64, 1024), (128, 768), (256, 384), (512, 192), (1024, 96),
+               (2048, 32)]
+_FLEET_CODECS = [("dxt1", 3), ("etc1", 3), ("dxt5", 4), ("pvrtc", 4)]
+
+
+def bench_pipeline_fleet() -> float:
+    """Chip fleet throughput over the realistic O(10k) size distribution:
+    for each codec, ONE compiled program encodes that codec's whole
+    per-size batch stack (2496 textures, 64^2-2048^2), scan-differenced
+    like every other bench. This measures what the chip sustains on
+    config 5's workload shape — compile bucketing and mixed batch shapes
+    included, tunnel RPC excluded (see --fleet-e2e for the wall-clock
+    pipeline.run variant; through the axon dev tunnel that one measures
+    ~24 MB/s HTTP streaming, not the framework)."""
+    from texcomp.dist.pipeline import _batch_encode
+
+    rng = np.random.default_rng(0)
+    total_dt = 0.0
+    total_pix = 0
+    for codec, ch in _FLEET_CODECS:
+        batches = tuple(
+            jax.device_put(rng.integers(0, 256, (count, size, size, ch),
+                                        dtype=np.uint8))
+            for size, count in _FLEET_DIST)
+
+        def op(xs, codec=codec):
+            outs = [_batch_encode(x, codec, 2) for x in xs]
+            return jnp.stack([o.astype(jnp.uint32).sum() for o in outs])
+
+        total_dt += _time_op(op, batches, iters=3, reps=4)
+        total_pix += sum(count * size * size for size, count in _FLEET_DIST)
+        del batches
+    return total_pix / total_dt / 1e6
+
+
+def bench_pipeline_fleet_e2e(scale: int = 1) -> float:
+    """End-to-end wall clock of the REAL AssetPipeline.run() on the O(10k)
+    mixed fleet: host stacking, H2D, sharded dispatch, D2H, container
+    packing. First run warms every (shape, codec) program; the second is
+    timed. On a direct-attached TPU-VM this is the deployment number; on
+    the axon dev tunnel it is bounded by ~24 MB/s HTTP array streaming.
+    Each size class reuses a 4-image pool: identical traffic/compute,
+    bounded host RAM."""
+    import time as _t
+
+    from texcomp.dist.pipeline import AssetPipeline, TextureAsset
+
+    rng = np.random.default_rng(0)
+    assets = []
+    total_pix = 0
+    for size, count in _FLEET_DIST:
+        count *= scale
+        pools = {c: [rng.integers(0, 256, (size, size, ch), dtype=np.uint8)
+                     for _ in range(4)] for c, ch in _FLEET_CODECS}
+        for c, _ch in _FLEET_CODECS:
+            for i in range(count):
+                assets.append(TextureAsset(f"{c}_{size}_{i}",
+                                           pools[c][i % 4], c))
+                total_pix += size * size
+    pipe = AssetPipeline(batch_size=32)
+    pipe.run(assets)  # warm every (shape, codec) program
+    t0 = _t.perf_counter()
+    out = pipe.run(assets)
+    dt = _t.perf_counter() - t0
+    assert len(out) == len(assets)
+    return total_pix / dt / 1e6
+
+
 _EXTRA_BENCHES = {
     "dxt5_encode": bench_dxt5_encode,       # BASELINE config 2
     "dxt5_mipmap": bench_mipmap_chain,      # BASELINE config 2 (chain)
@@ -173,6 +260,7 @@ _EXTRA_BENCHES = {
     "pvrtc_encode": bench_pvrtc_encode,     # BASELINE config 4 (2bpp parity bar)
     "pvrtc4_encode": bench_pvrtc4_encode,   # BASELINE config 4 (4bpp extension)
     "pipeline_mixed": bench_pipeline,       # BASELINE config 5 (1-chip slice)
+    "pipeline_fleet": bench_pipeline_fleet,  # BASELINE config 5 (10k fleet)
     "transcode_dxt1_etc1": bench_transcode,
     "dxt1_decode": bench_dxt1_decode,
     "etc1_decode": bench_etc1_decode,
@@ -186,7 +274,16 @@ def main() -> int:
     parser.add_argument("--headline-only", action="store_true",
                         help="skip the per-codec extras")
     parser.add_argument("--size", type=int, default=4096)
+    parser.add_argument("--fleet-e2e", action="store_true",
+                        help="also wall-clock the real pipeline.run() on "
+                             "the O(10k) fleet (slow through the tunnel)")
     args = parser.parse_args()
+
+    if args.fleet_e2e:
+        v = bench_pipeline_fleet_e2e()
+        print(json.dumps({"metric": "pipeline_fleet_e2e_throughput",
+                          "value": round(v, 1),
+                          "unit": "Mpixels/s/chip"}), file=sys.stderr)
 
     mpix = bench_dxt1_encode(args.size, args.size)
     line = {

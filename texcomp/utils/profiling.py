@@ -61,7 +61,7 @@ def time_op(op, arg, *, iters: int = 9, reps: int = 6) -> float:
     @partial(jax.jit, static_argnames=("n",))
     def loop(x, n):
         def body(carry, _):
-            out = op(perturb(x, carry))
+            out = op(jax.tree.map(lambda a: perturb(a, carry), x))
             return out.astype(jnp.uint32).sum(), None
 
         final, _ = jax.lax.scan(body, jnp.uint32(0), None, length=n)
