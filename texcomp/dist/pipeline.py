@@ -155,6 +155,20 @@ class AssetPipeline:
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
 
+    def encode_group_async(self, images: np.ndarray, codec: str,
+                           strategy: int = 2,
+                           quality: str = "reference") -> jax.Array:
+        """Dispatch one same-shape batch encode and return the DEVICE
+        result (JAX async dispatch: returns immediately, letting the host
+        pack the next group while the device works). The batch is padded
+        to a multiple of the mesh size; slice [:B] after fetching."""
+        b = images.shape[0]
+        pad = (-b) % self.ndev
+        if pad:
+            images = np.concatenate([images, images[:1].repeat(pad, 0)], 0)
+        return self._sharded_encode(codec, strategy, quality)(
+            jnp.asarray(images))
+
     def encode_group(self, images: np.ndarray, codec: str,
                      strategy: int = 2,
                      quality: str = "reference") -> np.ndarray:
@@ -163,13 +177,8 @@ class AssetPipeline:
         The batch is padded to a multiple of the mesh size; each device
         encodes its shard with one fused kernel call.
         """
-        b = images.shape[0]
-        pad = (-b) % self.ndev
-        if pad:
-            images = np.concatenate([images, images[:1].repeat(pad, 0)], 0)
-        out = self._sharded_encode(codec, strategy, quality)(
-            jnp.asarray(images))
-        return np.asarray(out)[:b]
+        out = self.encode_group_async(images, codec, strategy, quality)
+        return np.asarray(out)[: images.shape[0]]
 
     def run(self, assets: Sequence[TextureAsset],
             mipmaps: bool = False) -> dict[str, CompressedImage]:
@@ -186,28 +195,37 @@ class AssetPipeline:
                    a.image.shape)
             groups.setdefault(key, []).append(i)
 
+        # Dispatch phase, then collect phase: every chunk is stacked and
+        # enqueued first (JAX async dispatch — the device encodes group k
+        # while the host stacks group k+1), and results are fetched after.
+        # Fleet wall time approaches max(compute, transfer, host packing)
+        # instead of their sequential sum.
         results: dict[str, CompressedImage] = {}
+        pending: list[tuple[list[int], str, jax.Array]] = []
         for (codec, strategy, quality, shape), idxs in groups.items():
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start : start + self.batch_size]
                 batch = np.stack([assets[i].image for i in chunk])
-                encoded = self.encode_group(batch, codec, strategy, quality)
-                for j, i in enumerate(chunk):
-                    a = assets[i]
-                    h, w = a.image.shape[0], a.image.shape[1]
-                    ci = CompressedImage()
-                    if codec in ("pvrtc", "pvrtc4"):
-                        md = Metadata(_FORMATS[codec], _NAMES[codec],
-                                      h, w, h, w, 0)
-                    else:
-                        md = Metadata(
-                            _FORMATS[codec], _NAMES[codec], h, w,
-                            4 * num_blocks(h), 4 * num_blocks(w), 0,
-                        )
-                    payload = encoded[j].reshape(-1)
-                    ci.create_owned_data(md, payload.size)
-                    ci.get_mutable_data()[:] = payload
-                    results[a.name] = ci
+                pending.append((chunk, codec, self.encode_group_async(
+                    batch, codec, strategy, quality)))
+        for chunk, codec, out in pending:
+            encoded = np.asarray(out)
+            for j, i in enumerate(chunk):
+                a = assets[i]
+                h, w = a.image.shape[0], a.image.shape[1]
+                ci = CompressedImage()
+                if codec in ("pvrtc", "pvrtc4"):
+                    md = Metadata(_FORMATS[codec], _NAMES[codec],
+                                  h, w, h, w, 0)
+                else:
+                    md = Metadata(
+                        _FORMATS[codec], _NAMES[codec], h, w,
+                        4 * num_blocks(h), 4 * num_blocks(w), 0,
+                    )
+                payload = encoded[j].reshape(-1)
+                ci.create_owned_data(md, payload.size)
+                ci.get_mutable_data()[:] = payload
+                results[a.name] = ci
 
         if mipmaps:
             self._run_mipmaps(assets, results)
