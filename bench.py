@@ -23,6 +23,13 @@ import numpy as np
 
 from texcomp.utils.profiling import time_op as _time_op
 
+# Persistent compilation cache: remote (tunneled) TPU compiles of the big
+# pipelines take minutes and are flaky under load; cached reruns are
+# instant. Harmless on CPU.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 BASELINE_MPIX_S = 1000.0  # 1 Gpixel/sec/chip
 
 

@@ -403,3 +403,37 @@ def test_pvrtc_atlas_sharded_one_row_per_shard(rng):
     m8 = Mesh(np.array(jax.devices()[:8]), ("data",))
     out = np.asarray(pvrtc_encode_atlas_sharded(img, m8))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_pvrtc4_atlas_sharded(rng):
+    """4bpp extension atlas: block rows sharded with A/B halo exchanges,
+    byte-identical to the single-device encoder (dist/mesh.py)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from texcomp.codecs.pvrtc4 import encode_pvrtc_4bpp_device
+    from texcomp.dist.mesh import pvrtc4_encode_atlas_sharded
+
+    _need_devices(8)
+    img = jnp.asarray(make_test_image(rng, 128, 128, 4))
+    ref = np.asarray(encode_pvrtc_4bpp_device(img))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    out = np.asarray(pvrtc4_encode_atlas_sharded(img, mesh))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pvrtc4_atlas_sharded_one_row_per_shard(rng):
+    """Edge case: one 4x4 block row per shard — both upscale y-neighbors
+    come entirely from the halos."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from texcomp.codecs.pvrtc4 import encode_pvrtc_4bpp_device
+    from texcomp.dist.mesh import pvrtc4_encode_atlas_sharded
+
+    _need_devices(8)
+    img = jnp.asarray(make_test_image(rng, 32, 32, 4))
+    ref = np.asarray(encode_pvrtc_4bpp_device(img))
+    m8 = Mesh(np.array(jax.devices()[:8]), ("data",))
+    out = np.asarray(pvrtc4_encode_atlas_sharded(img, m8))
+    np.testing.assert_array_equal(out, ref)

@@ -75,15 +75,26 @@ def _morph4(planes, p00w):
     return _reduce_a(lo, is_b=False), _reduce_a(hi, is_b=True)
 
 
-def _upscale4(low_ch, nb: int):
+def _upscale4(low_ch, nby: int, nbx: int, halo_top=None, halo_bot=None):
     """Bilinear wrap upscale for 4x4 blocks: (1, NB) -> (16, NB).
 
     For in-block (py, px): left block = bx-1 iff px < 2, top = by-1 iff
-    py < 2; weights xw = (px+2) & 3, yw = (py+2) & 3, /16."""
-    low = low_ch.reshape(nb, nb)
+    py < 2; weights xw = (px+2) & 3, yw = (py+2) & 3, /16.
+
+    halo_top/halo_bot: (nbx,) rows replacing the y-wrap when the block
+    rows are sharded across devices (the previous shard's last row / the
+    next shard's first row); None = single-device jnp.roll wrap."""
+    low = low_ch.reshape(nby, nbx)
     var = {}
     for dy in (-1, 0, 1):
-        ry = jnp.roll(low, dy, axis=0) if dy else low
+        if dy == 0:
+            ry = low
+        elif halo_top is None:
+            ry = jnp.roll(low, dy, axis=0)
+        elif dy == 1:
+            ry = jnp.concatenate([halo_top.reshape(1, nbx), low[:-1]], 0)
+        else:
+            ry = jnp.concatenate([low[1:], halo_bot.reshape(1, nbx)], 0)
         for dx in (-1, 0, 1):
             v = jnp.roll(ry, dx, axis=1) if dx else ry
             var[(dy, dx)] = v.reshape(1, -1)
@@ -123,28 +134,58 @@ def _upscale4(low_ch, nb: int):
 _modulate4 = _modulate_planes
 
 
-@jax.jit
-def encode_pvrtc_4bpp_device(image: jax.Array) -> jax.Array:
-    """(H, W, 4) uint8 (square power-of-two, >= 4) -> (NB, 8) uint8 Z-order
-    4bpp records: 32-bit modulation word (2 bits/pixel, pixel (y, x) at bit
-    2*(y*4+x)) then the 32-bit color word, both little-endian."""
+def _encode_rowmajor_words4(image: jax.Array, pixel00=None,
+                            axis_name: str | None = None) -> jax.Array:
+    """Shared 4bpp encode body: (h, W, 4) uint8 -> (2, NB) uint32
+    (modulation word, color word) in row-major block order.
+
+    With ``axis_name`` the image's block rows are a shard of a taller
+    atlas over that mesh axis: the upscale's y-wrap becomes one-row halo
+    exchanges over ICI (jax.lax.ppermute), exactly like the 2bpp path
+    (4bpp has no mode decision, so no modulation halo). pixel00: packed
+    (1, 1) uint32 GLOBAL image pixel (0, 0), or None to take it from this
+    shard (single-image case)."""
     from texcomp.ops.dxt_pallas import _block_transpose_u32
     from texcomp.ops.pvrtc_fast import _pack4, _unpack4
 
     h, w = image.shape[0], image.shape[1]
-    nb = h // BLOCK
+    nby, nbx = h // BLOCK, w // BLOCK
     barrier = jax.lax.optimization_barrier
 
     # Barrier-crossing tensors stay packed uint32 (see pvrtc_fast:
     # barriers materialize, and unpacked planes are 4x the HBM traffic).
     words16 = barrier(_block_transpose_u32(
         jax.lax.bitcast_convert_type(image, jnp.uint32)))
-    a, b = _morph4(_unpack4(words16), words16[0:1, 0:1])
+    if pixel00 is None:
+        pixel00 = words16[0:1, 0:1]
+    a, b = _morph4(_unpack4(words16), pixel00)
     a = barrier(a)
     b = barrier(b)
+
+    none2 = (None, None)
+    if axis_name is None:
+        a_halo = b_halo = none2
+    else:
+        n = jax.lax.axis_size(axis_name)
+        fwd = [(i, (i + 1) % n) for i in range(n)]  # receive from prev
+        bwd = [(i, (i - 1) % n) for i in range(n)]  # receive from next
+        aw = _pack4(a).reshape(nby, nbx)
+        bw = _pack4(b).reshape(nby, nbx)
+        tops = jax.lax.ppermute(jnp.stack([aw[-1], bw[-1]]), axis_name, fwd)
+        bots = jax.lax.ppermute(jnp.stack([aw[0], bw[0]]), axis_name, bwd)
+        a_halo = (_unpack4(tops[0:1]), _unpack4(bots[0:1]))
+        b_halo = (_unpack4(tops[1:2]), _unpack4(bots[1:2]))
+
+    def up(ch4, halo):
+        if halo is none2:
+            return [_upscale4(c, nby, nbx) for c in ch4]
+        ht4, hb4 = halo
+        return [_upscale4(c, nby, nbx, halo_top=ht, halo_bot=hb)
+                for c, ht, hb in zip(ch4, ht4, hb4)]
+
     ab_up = barrier((
-        _pack4([_upscale4(c, nb) for c in a]),
-        _pack4([_upscale4(c, nb) for c in b]),
+        _pack4(up(a, a_halo)),
+        _pack4(up(b, b_halo)),
     ))
     mod = barrier(_modulate4(
         _unpack4(words16), _unpack4(ab_up[0]), _unpack4(ab_up[1])))
@@ -157,14 +198,21 @@ def encode_pvrtc_4bpp_device(image: jax.Array) -> jax.Array:
     # sets bit 0 = 1 unless modes == 0, so pass modes = 0.
     modes0 = jnp.zeros((1, mod_words.shape[0]), dtype=jnp.int32)
     color_words = _encode_colors(a, b, modes0)[0]
+    return jnp.stack([mod_words, color_words])
 
+
+@jax.jit
+def encode_pvrtc_4bpp_device(image: jax.Array) -> jax.Array:
+    """(H, W, 4) uint8 (square power-of-two, >= 4) -> (NB, 8) uint8 Z-order
+    4bpp records: 32-bit modulation word (2 bits/pixel, pixel (y, x) at bit
+    2*(y*4+x)) then the 32-bit color word, both little-endian."""
     # MXU-tiled Z-order + LE bitcast (see ops/pvrtc_fast._zorder_words):
     # element gathers cost ~10 ns each on TPU and would dominate.
-    from texcomp.ops.pvrtc_fast import _zorder_words
+    from texcomp.ops.pvrtc_fast import _zorder_payload
 
-    zw = _zorder_words(jnp.stack([mod_words, color_words]), nb, nb)
-    both = jnp.stack([zw[0], zw[1]], axis=-1)  # (NB, 2) uint32
-    return jax.lax.bitcast_convert_type(both, jnp.uint8).reshape(-1, 8)
+    nb = image.shape[0] // BLOCK
+    words = _encode_rowmajor_words4(image)
+    return _zorder_payload(words, nb, nb)
 
 
 def _decode_color(word, is_b: bool):
@@ -197,8 +245,8 @@ def decode_pvrtc_4bpp_device(data: jax.Array, *, height: int,
     b4 = _decode_color(color_words[0], is_b=True)
     a = [a4[:, c][None, :] for c in range(4)]
     b = [b4[:, c][None, :] for c in range(4)]
-    a_up = [_upscale4(c, nb) for c in a]
-    b_up = [_upscale4(c, nb) for c in b]
+    a_up = [_upscale4(c, nb, nb) for c in a]
+    b_up = [_upscale4(c, nb, nb) for c in b]
 
     s = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
     mod = ((jnp.broadcast_to(mod_words, (16, mod_words.shape[1]))

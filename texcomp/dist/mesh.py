@@ -174,6 +174,50 @@ def pvrtc_encode_atlas_sharded(image: jax.Array, mesh: Mesh) -> jax.Array:
     return pf.zorder_payload_jit(words, nby, w // pf.BLOCK_W)
 
 
+def pvrtc4_encode_atlas_sharded(image: jax.Array, mesh: Mesh) -> jax.Array:
+    """Encode ONE PVRTC 4bpp texture (EXTENSION codec) with its block rows
+    sharded across chips: (S, S, 4) uint8, S square power-of-two with S/4
+    block rows splitting evenly over the mesh's "data" axis -> (NB, 8)
+    uint8 Z-order records, byte-identical to the single-device encoder.
+
+    Same halo pattern as :func:`pvrtc_encode_atlas_sharded` minus the
+    modulation-row exchange (4bpp has no block mode decision): two
+    ppermutes carry the packed A+B first/last low-res rows for the
+    upscale's y-wrap (codecs/pvrtc4._upscale4)."""
+    from texcomp.codecs import pvrtc4
+    from texcomp.ops import pvrtc_fast as pf
+
+    ndata = int(mesh.shape["data"])
+    h, w = int(image.shape[0]), int(image.shape[1])
+    if h != w or h < 4 or h & (h - 1) or image.shape[2] != 4:
+        raise ValueError(
+            "PVRTC 4bpp atlas must be square power-of-two RGBA with side "
+            f">= 4, got {image.shape}")
+    nb = h // pvrtc4.BLOCK
+    if nb % ndata != 0:
+        raise ValueError(
+            f"atlas block rows ({nb}) must split evenly over "
+            f"{ndata} 'data' shards")
+    # The packed global quirk pixel (0, 0), replicated (extracting it from
+    # the uint8 image on device would materialize the lane-padded tensor).
+    pixel00 = jax.lax.bitcast_convert_type(
+        image[0, 0, :].reshape(1, 1, 4), jnp.uint32)
+
+    def local(img_local, p00):
+        return pvrtc4._encode_rowmajor_words4(img_local, p00,
+                                              axis_name="data")
+
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("data"), P()), out_specs=P(None, "data"),
+            check_vma=False,
+        )
+    )
+    words = fn(image, pixel00)
+    return pf.zorder_payload_jit(words, nb, nb)
+
+
 def training_step_multichip(n_devices: int) -> None:
     """Dry-run entry: build an n-device mesh, jit the full sharded step, and
     execute one step on tiny shapes. Used by __graft_entry__.dryrun_multichip

@@ -61,15 +61,7 @@ def mipmap_chain(data: jax.Array, *, height: int, width: int, codec: str,
     cur = data
     h, w = height, width
     for _ in range(levels):
-        if codec == "dxt1":
-            img = dxt_pallas.dxt1_decode_image(
-                cur, height=h, width=w, interpret=interpret)[:, :, :3]
-        elif codec == "dxt5":
-            img = dxt_pallas.dxt5_decode_image(
-                cur, height=h, width=w, interpret=interpret)
-        else:
-            img = etc_pallas.etc1_decode_image(
-                cur, height=h, width=w, interpret=interpret)[:, :, :3]
+        img = _decode_level(cur, codec, h, w, interpret)
         h //= 2
         w //= 2
         c = img.shape[-1]
@@ -79,15 +71,64 @@ def mipmap_chain(data: jax.Array, *, height: int, width: int, codec: str,
         # signed integer division; see CLAUDE.md playbook).
         avg = (img.astype(jnp.int32).reshape(h, 2, w, 2, c).sum(axis=(1, 3))
                >> 2).astype(jnp.uint8)
-        if codec == "dxt1":
-            cur = dxt_pallas.dxt1_encode_image(avg, interpret=interpret)
-        elif codec == "dxt5":
-            cur = dxt_pallas.dxt5_encode_image(avg, interpret=interpret)
-        else:
-            cur = etc_pallas.etc1_encode_image(avg, strategy,
-                                               interpret=interpret)
+        cur = _encode_level(avg, codec, strategy, interpret)
         outs.append(cur)
     return tuple(outs)
+
+
+# Below this pixel count a level runs on the jnp reference codecs (which
+# the Pallas kernels are bit-identical to): a chain's smallest tail
+# levels are bound by pallas_call invocation overhead (~0.15-0.2 ms each
+# inside the program), not compute — pure-XLA tails fuse into the
+# program for free. TPU A/B on the 2048^2 DXT5 chain: threshold 512^2
+# was a 1.9x REGRESSION (the jnp codecs recompute too much at mid
+# sizes); 64^2 measured neutral-to-+10% vs no fold (1291-1327 ->
+# 1327-1497 Mpix/s) while saving 4 launches per chain.
+_SMALL_LEVEL = 64 * 64
+
+
+def _decode_level(cur, codec, h, w, interpret):
+    if h * w >= _SMALL_LEVEL:
+        if codec == "dxt1":
+            return dxt_pallas.dxt1_decode_image(
+                cur, height=h, width=w, interpret=interpret)[:, :, :3]
+        if codec == "dxt5":
+            return dxt_pallas.dxt5_decode_image(
+                cur, height=h, width=w, interpret=interpret)
+        return etc_pallas.etc1_decode_image(
+            cur, height=h, width=w, interpret=interpret)[:, :, :3]
+    from texcomp.codecs import dxt, etc
+
+    if codec == "dxt1":
+        blocks = dxt.decode_dxt1_blocks(cur)
+    elif codec == "dxt5":
+        blocks = dxt.decode_dxt5_blocks(cur)
+    else:
+        blocks = etc.decode_etc1_blocks(cur)
+    c = blocks.shape[-1]
+    return (blocks.reshape(h // 4, w // 4, 4, 4, c)
+            .transpose(0, 2, 1, 3, 4).reshape(h, w, c).astype(jnp.uint8))
+
+
+def _encode_level(avg, codec, strategy, interpret):
+    h, w = avg.shape[0], avg.shape[1]
+    if h * w >= _SMALL_LEVEL:
+        if codec == "dxt1":
+            return dxt_pallas.dxt1_encode_image(avg, interpret=interpret)
+        if codec == "dxt5":
+            return dxt_pallas.dxt5_encode_image(avg, interpret=interpret)
+        return etc_pallas.etc1_encode_image(avg, strategy,
+                                            interpret=interpret)
+    from texcomp.blocks import image_to_blocks
+    from texcomp.codecs import dxt, etc
+
+    blocks = image_to_blocks(avg)
+    if codec == "dxt1":
+        return dxt.encode_dxt1_blocks(blocks)
+    if codec == "dxt5":
+        return dxt.encode_dxt5_blocks(
+            blocks, jnp.zeros((blocks.shape[0],), dtype=bool))
+    return etc.encode_etc1_blocks(blocks, strategy)
 
 
 def dxtc_mipmap_chain(data: jax.Array, *, height: int, width: int,
