@@ -99,7 +99,9 @@ def bench_etc1_decode(h: int = 4096, w: int = 4096) -> float:
     return (h * w) / dt / 1e6
 
 
-def bench_etc1_encode(h: int = 2048, w: int = 2048) -> float:
+def bench_etc1_encode(h: int = 4096, w: int = 4096) -> float:
+    """4096^2: at 2048^2 the ~4ms kernel is within the per-scan-iteration
+    floor's noise band; 4096^2 gives a stable differenced reading."""
     from texcomp.ops import etc1_encode_image_op
 
     dt = _time_op(etc1_encode_image_op, _rand_image(h, w, 3))
@@ -156,7 +158,8 @@ def bench_transcode(h: int = 4096, w: int = 4096) -> float:
 
     def op(d):
         words = dxt_pallas.blocks_to_words(d, 2)
-        return etc_pallas.transcode_dxt1_to_etc1_packed(words)
+        return etc_pallas.etc1_words_to_blocks(
+            etc_pallas.transcode_dxt1_to_etc1_packed(words))
 
     dt = _time_op(op, data)
     return (h * w) / dt / 1e6

@@ -190,9 +190,8 @@ def test_transcode_kernel_parity(rng):
     data = rng.integers(0, 256, (300, 8), dtype=np.uint8)
     ref = np.asarray(transcode_dxt1_to_etc1_blocks(jnp.asarray(data)))
     words = dp.blocks_to_words(jnp.asarray(data), 2)
-    out = np.asarray(
-        ep.transcode_dxt1_to_etc1_packed(words, interpret=True)
-    ).T
+    out = np.asarray(ep.etc1_words_to_blocks(
+        ep.transcode_dxt1_to_etc1_packed(words, interpret=True)))
     np.testing.assert_array_equal(out, ref)
 
 

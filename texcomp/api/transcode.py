@@ -60,7 +60,8 @@ def transcode_dxt1_to_etc1(image: CompressedImage,
         from texcomp.ops import dxt_pallas, etc_pallas
 
         words = dxt_pallas.blocks_to_words(jnp.asarray(blocks.copy()), 2)
-        out = np.asarray(etc_pallas.transcode_dxt1_to_etc1_packed(words)).T
+        out = np.asarray(etc_pallas.etc1_words_to_blocks(
+            etc_pallas.transcode_dxt1_to_etc1_packed(words)))
     else:
         out = np.asarray(transcode_dxt1_to_etc1_blocks(jnp.asarray(blocks)))
     blocks[:] = out

@@ -107,7 +107,12 @@ def _batch_encode(images: jax.Array, codec: str, strategy: int,
             out = dxt_pallas.encode_dxt5_packed(
                 jnp.concatenate([words, flag], axis=0))
         else:
-            out = etc_pallas.encode_etc1_packed(words, strategy)
+            # ETC emits (2, B*N) uint32 LE words: transpose at 32 bit and
+            # bitcast, instead of relaying out (8, B*N) uint8 (~100x).
+            ws = etc_pallas.encode_etc1_words(words, strategy)
+            return jax.lax.bitcast_convert_type(
+                ws.reshape(2, b, n).transpose(1, 2, 0), jnp.uint8
+            ).reshape(b, n, 8)
         bs = out.shape[0]
         return out.reshape(bs, b, n).transpose(1, 2, 0)
 

@@ -126,15 +126,17 @@ def _subblock_search(pg, base, heuristic: bool):
 
     # Recompute per-pixel best modifier for the chosen codeword
     # (first-strictly-smaller over the 4 modifiers, etc_compressor.cc:364-380).
-    # Codebook columns 0-1 are positive, 2-3 their negations, so the min/max
-    # clamp form extends to the per-lane modifier vectors.
+    # Codebook rows are [a, b, -a, -b], so only the two positive columns
+    # are selected and m >= 2 subtracts (the structure the decoder uses);
+    # the min/max clamp form extends to the per-lane modifier vectors.
+    va = _codeword_select(cw, cb[:, 0]).astype(jnp.float32)  # (1, T)
+    vb = _codeword_select(cw, cb[:, 1]).astype(jnp.float32)
     best_e = None
     best_m = None
-    for m in range(4):
-        vm = _codeword_select(cw, cb[:, m]).astype(jnp.float32)  # (1, T)
+    for m, vm in enumerate((va, vb, va, vb)):
         e = None
         for dc, uc, lc in zip(D, U, L):
-            t = dc + vm
+            t = dc + vm if m < 2 else dc - vm
             d = jnp.minimum(t, uc) if m < 2 else jnp.maximum(t, lc)
             e = d * d if e is None else e + d * d
         if best_e is None:
@@ -266,14 +268,11 @@ def _etc1_kernel(px_ref, pxp_ref, out_ref, *, strategy):
         hi = jnp.where(take_lr, hi_f, hi_t)
         lo = jnp.where(take_lr, lo_f, lo_t)
 
-    out = jnp.concatenate(
-        [(hi >> 24) & _U32(255), (hi >> 16) & _U32(255),
-         (hi >> 8) & _U32(255), hi & _U32(255),
-         (lo >> 24) & _U32(255), (lo >> 16) & _U32(255),
-         (lo >> 8) & _U32(255), lo & _U32(255)],
-        axis=0,
-    )
-    out_ref[:] = out.astype(jnp.uint8)
+    # Emit the block as TWO little-endian uint32 words (byte 0 of the block
+    # = low byte of word 0): byte-splitting to (8, T) uint8 here would force
+    # the image-level (8, N) -> (N, 8) relayout to happen at 8-bit, ~100x
+    # slower than the 32-bit transpose the words form allows.
+    out_ref[:] = jnp.concatenate([_bswap32(hi), _bswap32(lo)], axis=0)
 
 
 def _pad_lanes(x, tile):
@@ -386,22 +385,10 @@ def etc1_decode_image(data: jax.Array, *, height: int, width: int,
     return jax.lax.bitcast_convert_type(img, jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("strategy", "interpret"))
-def transcode_dxt1_to_etc1_packed(words: jax.Array, strategy: int = HEURISTIC,
-                                  interpret: bool = False) -> jax.Array:
-    """(2, N) uint32 DXT1 LE words -> (8, N) uint8 ETC1 bytes: fused
-    decode -> re-encode on device (dxtc_to_etc_transcoder.cc:29-40)."""
-    from texcomp.ops.dxt_pallas import decode_dxt1_packed
-
-    px = decode_dxt1_packed(words, interpret=interpret)
-    return encode_etc1_packed(px, strategy, interpret=interpret)
-
-
-@partial(jax.jit, static_argnames=("strategy", "interpret"))
-def encode_etc1_packed(words: jax.Array, strategy: int = SMALLER_ERROR,
-                       interpret: bool = False) -> jax.Array:
-    """(16, N) uint32 packed RGB pixels -> (8, N) uint8 ETC1 block bytes
-    (hardware byte order)."""
+def encode_etc1_words(words: jax.Array, strategy: int = SMALLER_ERROR,
+                      interpret: bool = False) -> jax.Array:
+    """(16, N) uint32 packed RGB pixels -> (2, N) uint32 little-endian ETC1
+    block words (byte 0 of the block = low byte of word 0)."""
     n = words.shape[1]
     tile = min(LANE_TILE, max(128, 1 << (n - 1).bit_length()))
     words = _pad_lanes(words, tile)
@@ -416,12 +403,44 @@ def encode_etc1_packed(words: jax.Array, strategy: int = SMALLER_ERROR,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((16, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
+        out_specs=pl.BlockSpec((2, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, np_), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((2, np_), jnp.uint32),
         interpret=interpret,
     )(words, words_perm)
     return out[:, :n]
+
+
+def etc1_words_to_blocks(words: jax.Array) -> jax.Array:
+    """(2, N) uint32 LE block words -> (N, 8) uint8 blocks via a 32-bit
+    transpose + free bitcast (an 8-bit (8, N) -> (N, 8) relayout is ~100x
+    slower on TPU)."""
+    return jax.lax.bitcast_convert_type(words.T, jnp.uint8).reshape(-1, 8)
+
+
+@partial(jax.jit, static_argnames=("strategy", "interpret"))
+def transcode_dxt1_to_etc1_packed(words: jax.Array, strategy: int = HEURISTIC,
+                                  interpret: bool = False) -> jax.Array:
+    """(2, N) uint32 DXT1 LE words -> (2, N) uint32 ETC1 LE words: fused
+    decode -> re-encode on device (dxtc_to_etc_transcoder.cc:29-40).
+    Convert with etc1_words_to_blocks for (N, 8) bytes."""
+    from texcomp.ops.dxt_pallas import decode_dxt1_packed
+
+    px = decode_dxt1_packed(words, interpret=interpret)
+    return encode_etc1_words(px, strategy, interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("strategy", "interpret"))
+def encode_etc1_packed(words: jax.Array, strategy: int = SMALLER_ERROR,
+                       interpret: bool = False) -> jax.Array:
+    """(16, N) uint32 packed RGB pixels -> (8, N) uint8 ETC1 block bytes
+    (hardware byte order: row r = byte r of each block)."""
+    w = encode_etc1_words(words, strategy, interpret=interpret)
+    return jnp.concatenate(
+        [(w[0:1] >> s) & _U32(255) for s in (0, 8, 16, 24)]
+        + [(w[1:2] >> s) & _U32(255) for s in (0, 8, 16, 24)],
+        axis=0,
+    ).astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("strategy", "interpret"))
@@ -431,7 +450,8 @@ def etc1_encode_image(image: jax.Array, strategy: int = SMALLER_ERROR,
     from texcomp.ops.dxt_pallas import pack_rgb_image
 
     words = pack_rgb_image(image)
-    return encode_etc1_packed(words, strategy, interpret=interpret).T
+    return etc1_words_to_blocks(
+        encode_etc1_words(words, strategy, interpret=interpret))
 
 
 @partial(jax.jit, static_argnames=("strategy", "grid_height", "grid_width",
@@ -449,4 +469,5 @@ def etc1_encode_padded_image(image: jax.Array, grid_height: int,
         mode="edge",
     )
     words = pack_rgb_image(image)
-    return encode_etc1_packed(words, strategy, interpret=interpret).T
+    return etc1_words_to_blocks(
+        encode_etc1_words(words, strategy, interpret=interpret))
