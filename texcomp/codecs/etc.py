@@ -388,6 +388,180 @@ def _refit_bases(rgb: jax.Array, flip: bool, hi: jax.Array, lo: jax.Array):
     return q1_555, q2_555, q1_444, q2_444
 
 
+def _cluster_fit_bases(rgb: jax.Array, flip: bool, iters: int = 2,
+                       extra_seeds=()):
+    """Joint-assignment (cluster-fit) base candidates for the HQ search.
+
+    For EACH of the 8 codewords, alternate (a) exact per-pixel modifier
+    assignment against the current real-valued bases (clamped squared-RGB
+    error, the decoder's arithmetic) and (b) the least-squares base refit
+    mean(pixel - modifier) per subblock — i.e. indices and bases are
+    re-solved *jointly* per codeword, where :func:`_refit_bases` only
+    refits the incumbent's codeword choice. Two seeds per codeword: the
+    subblock mean, and a 2-means luminance split (midpoint of the
+    below/above-mean cluster centroids — centers the modifier ladder on
+    bimodal subblocks the mean seed misses).
+
+    The converged (base1, base2) pair of each (codeword, seed) is scored
+    cheaply with that codeword's own clamped error, and only the best and
+    runner-up pairs per seed survive to the exact :func:`_finish_flip`
+    scorer (quantization can reorder near-ties, hence two). Returns a
+    list of quantized base tuples for `_finish_flip`.
+    """
+    mask0 = jnp.asarray(_subblock_mask(flip))           # (16,)
+    m0 = mask0.astype(jnp.float32)[None, :]             # (1, 16)
+    m1 = 1.0 - m0
+    rgbf = rgb.astype(jnp.float32)                      # (N, 16, 3)
+    cb = _codebook().astype(jnp.float32)                # (8, 4)
+
+    mean1 = jnp.sum(rgbf * m0[:, :, None], axis=1) / 8.0    # (N, 3)
+    mean2 = jnp.sum(rgbf * m1[:, :, None], axis=1) / 8.0
+
+    lum = jnp.mean(rgbf, axis=2)                        # (N, 16)
+
+    def split_seed(maskf):
+        mlum = jnp.sum(lum * maskf, axis=1, keepdims=True) / 8.0
+        hi_m = (lum >= mlum) * maskf
+        lo_m = maskf - hi_m
+        hi_n = jnp.maximum(jnp.sum(hi_m, axis=1, keepdims=True), 1.0)
+        lo_n = jnp.maximum(jnp.sum(lo_m, axis=1, keepdims=True), 1.0)
+        hi_c = jnp.sum(rgbf * hi_m[:, :, None], axis=1) / hi_n
+        lo_c = jnp.sum(rgbf * lo_m[:, :, None], axis=1) / lo_n
+        return 0.5 * (hi_c + lo_c)
+
+    seeds = [(mean1, mean2), (split_seed(m0), split_seed(m1))]
+    if extra_seeds:
+        seeds += list(extra_seeds)
+
+    def assign(b1, b2, mods):
+        """Per-pixel best modifier values + residual error for bases."""
+        base_px = jnp.where(mask0[None, :, None],
+                            b1[:, None, :], b2[:, None, :])  # (N, 16, 3)
+        cand = jnp.clip(
+            base_px[:, :, None, :] + mods[None, None, :, None], 0.0, 255.0)
+        d = cand - rgbf[:, :, None, :]
+        e = jnp.sum(d * d, axis=-1)                     # (N, 16, 4)
+        m = mods[jnp.argmin(e, axis=-1)]                # (N, 16)
+        return m, jnp.sum(jnp.min(e, axis=-1), axis=1)  # (N, 16), (N,)
+
+    out = []
+    for b1_0, b2_0 in seeds:
+        best = None   # (err, b1, b2) running keep-best over codewords
+        second = None
+        for cw in range(8):
+            mods = cb[cw]
+            b1, b2 = b1_0, b2_0
+            for _ in range(iters):
+                m, _ = assign(b1, b2, mods)
+                resid = rgbf - m[:, :, None]
+                b1 = jnp.clip(jnp.sum(resid * m0[:, :, None], axis=1) / 8.0,
+                              0.0, 255.0)
+                b2 = jnp.clip(jnp.sum(resid * m1[:, :, None], axis=1) / 8.0,
+                              0.0, 255.0)
+            _, e = assign(b1, b2, mods)
+            if best is None:
+                best, second = (e, b1, b2), (e, b1, b2)
+            else:
+                def sel(cond, x, y):
+                    return jnp.where(
+                        cond.reshape(cond.shape + (1,) * (x.ndim - 1)), x, y)
+
+                better = e < best[0]
+                mid = e < second[0]
+                second = tuple(
+                    sel(better, bv, sel(mid, nv, sv))
+                    for bv, nv, sv in zip(best, (e, b1, b2), second))
+                best = tuple(sel(better, nv, bv)
+                             for nv, bv in zip((e, b1, b2), best))
+        for _, b1, b2 in (best, second):
+            r1 = [jnp.round(b1[:, ch]).astype(jnp.int32) for ch in range(3)]
+            r2 = [jnp.round(b2[:, ch]).astype(jnp.int32) for ch in range(3)]
+            out.append(([cc.quantize8(v, 5) for v in r1],
+                        [cc.quantize8(v, 5) for v in r2],
+                        [cc.quantize8(v, 4) for v in r1],
+                        [cc.quantize8(v, 4) for v in r2]))
+    return out
+
+
+def _cluster_fit_enum_bases(rgb: jax.Array, flip: bool, top: int = 2):
+    """Exhaustive cluster-fit: globally optimal (unclamped) joint solve.
+
+    For a fixed codeword with sorted modifiers v0<=v1<=v2<=v3, the
+    unclamped-LS-optimal assignment of a subblock's 8 pixels to modifiers
+    is monotone in pixel luminance, so every candidate assignment is a
+    contiguous partition of the luminance-sorted pixels — C(11,3) = 165
+    partitions. For each (partition, codeword) the LS base is
+    mean(p) - mean(m) and the error reduces to
+    ``SSp + 3*sum((m-mu)^2) - 2*sum(t*m)`` with t the centered 3-channel
+    luminance; via prefix sums T of sorted t, ``sum(t*m)`` is
+    ``(a-b)(T[p1]+T[p3]) - 2a*T[p2]`` — three gathers and a handful of
+    static constants per candidate. The ``top`` best (partition, codeword)
+    pairs per subblock yield quantized base tuples for
+    :func:`_finish_flip`, which re-scores exactly (with clamping).
+    """
+    idx1 = np.where(np.asarray(_subblock_mask(flip)))[0]
+    idx2 = np.where(~np.asarray(_subblock_mask(flip)))[0]
+    rgbf = rgb.astype(jnp.float32)
+    cb = np.asarray(ETC1_CODEBOOK)                  # (8, 4): [a, b, -a, -b]
+    a_cw = cb[:, 0].astype(np.float32)
+    b_cw = cb[:, 1].astype(np.float32)
+
+    # Static partition tables: cuts 0 <= p1 <= p2 <= p3 <= 8.
+    parts = np.array([(p1, p2, p3)
+                      for p1 in range(9)
+                      for p2 in range(p1, 9)
+                      for p3 in range(p2, 9)], dtype=np.int32)  # (165, 3)
+    n0 = parts[:, 0].astype(np.float32)
+    n1 = (parts[:, 1] - parts[:, 0]).astype(np.float32)
+    n2 = (parts[:, 2] - parts[:, 1]).astype(np.float32)
+    n3 = 8.0 - parts[:, 2].astype(np.float32)
+    # Ascending modifiers [-b, -a, a, b] per codeword.
+    sum_m = (-b_cw[None, :] * n0[:, None] - a_cw[None, :] * n1[:, None]
+             + a_cw[None, :] * n2[:, None] + b_cw[None, :] * n3[:, None])
+    sum_m2 = (a_cw[None, :] ** 2 * (n1 + n2)[:, None]
+              + b_cw[None, :] ** 2 * (n0 + n3)[:, None])
+    mu = sum_m / 8.0                                 # (165, 8)
+    const = 3.0 * sum_m2 - 24.0 * mu * mu            # (165, 8)
+    const_j = jnp.asarray(const.reshape(1, -1))      # (1, 1320)
+    mu_j = jnp.asarray(mu.reshape(-1))               # (1320,)
+    coef13 = jnp.asarray((a_cw - b_cw))              # * (T1 + T3)
+    coef2 = jnp.asarray(-2.0 * a_cw)                 # * T2
+
+    def subblock(idx):
+        px = rgbf[:, idx, :]                         # (N, 8, 3)
+        mean_ch = jnp.mean(px, axis=1)               # (N, 3)
+        t = jnp.sum(px - mean_ch[:, None, :], axis=2)  # (N, 8) centered
+        ts = jnp.sort(t, axis=1)
+        T = jnp.concatenate(
+            [jnp.zeros((t.shape[0], 1), jnp.float32), jnp.cumsum(ts, axis=1)],
+            axis=1)                                  # (N, 9)
+        G13 = T[:, parts[:, 0]] + T[:, parts[:, 2]]  # (N, 165)
+        G2 = T[:, parts[:, 1]]
+        tm = (G13[:, :, None] * coef13[None, None, :]
+              + G2[:, :, None] * coef2[None, None, :])  # (N, 165, 8)
+        e = const_j - 2.0 * tm.reshape(tm.shape[0], -1)  # (N, 1320)
+        bases = []
+        for _ in range(top):
+            k = jnp.argmin(e, axis=1)                # (N,)
+            base = mean_ch - mu_j[k][:, None]        # (N, 3)
+            bases.append(jnp.clip(base, 0.0, 255.0))
+            e = jnp.where(jax.nn.one_hot(k, e.shape[1], dtype=bool),
+                          jnp.inf, e)
+        return bases
+
+    out = []
+    real = []
+    for s1, s2 in zip(subblock(idx1), subblock(idx2)):
+        real.append((s1, s2))
+        r1 = [jnp.round(s1[:, ch]).astype(jnp.int32) for ch in range(3)]
+        r2 = [jnp.round(s2[:, ch]).astype(jnp.int32) for ch in range(3)]
+        out.append(([cc.quantize8(v, 5) for v in r1],
+                    [cc.quantize8(v, 5) for v in r2],
+                    [cc.quantize8(v, 4) for v in r1],
+                    [cc.quantize8(v, 4) for v in r2]))
+    return out, real
+
+
 @jax.jit
 def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
     """High-quality ETC1 encode (EXTENSION — beats the reference encoder).
@@ -470,6 +644,27 @@ def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
 
         candidates += neighborhood(
             (q1r[0], q2r[0], q1r[1], q2r[1]), ("555", "444"))
+
+        # 5. Joint-assignment (cluster-fit) candidates: per-codeword
+        #    alternating reassign + LS refit from two seeds (subblock mean,
+        #    2-means luminance split); best + runner-up pairs per seed.
+        q_enum, real_enum = _cluster_fit_enum_bases(rgb, flip)
+        # Clamp-aware alternating refinement additionally seeded from the
+        # enum winner's real-valued bases (the enum score ignores the
+        # [0, 255] clamp; the alternation's exact assignment restores it).
+        candidates += [finish(*q) for q in
+                       _cluster_fit_bases(rgb, flip,
+                                          extra_seeds=real_enum[:1])]
+        candidates += [finish(*q) for q in q_enum]
+        # Clamped-delta variants of the enum winner (same 555-preserving
+        # move as family 2's, centered on the joint optimum). A ±1
+        # neighborhood around the enum winner was tried and rejected:
+        # +0.01-0.03 dB for 24 finish calls per flip.
+        eq1, eq2 = q_enum[0][0], q_enum[0][1]
+        e2c = [jnp.clip(b, a - 4, a + 3) for a, b in zip(eq1, eq2)]
+        e1c = [jnp.clip(a, b - 3, b + 4) for a, b in zip(eq1, eq2)]
+        candidates.append(finish(eq1, e2c, q_enum[0][2], q_enum[0][3]))
+        candidates.append(finish(e1c, eq2, q_enum[0][2], q_enum[0][3]))
 
         hi, lo, err = candidates[0]
         for h2, l2, e2 in candidates[1:]:
