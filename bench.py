@@ -125,6 +125,17 @@ def bench_pvrtc4_encode(h: int = 2048, w: int = 2048) -> float:
     return (h * w) / dt / 1e6
 
 
+def bench_pvrtc_hq_encode(h: int = 1024, w: int = 1024) -> float:
+    """quality="high" 2bpp encode incl. the never-worse best-of — the
+    fleet-viability bar for HQ in the asset pipeline (~46-49 Mpix/s)."""
+    from texcomp.codecs.pvrtc_hq import encode_pvrtc_2bpp_hq_device
+
+    dt = _time_op(
+        lambda w32: encode_pvrtc_2bpp_hq_device(_words_to_image(w32)),
+        _rand_image_words(h, w))
+    return (h * w) / dt / 1e6
+
+
 def bench_mipmap_chain(size: int = 2048) -> float:
     """Full DXT5 mipmap chain from a size^2 level-0 payload — BASELINE
     config 2's workload — as ONE fused device program. Throughput counts
@@ -269,6 +280,7 @@ _EXTRA_BENCHES = {
     "etc1_encode": bench_etc1_encode,       # BASELINE config 3
     "pvrtc_encode": bench_pvrtc_encode,     # BASELINE config 4 (2bpp parity bar)
     "pvrtc4_encode": bench_pvrtc4_encode,   # BASELINE config 4 (4bpp extension)
+    "pvrtc_hq": bench_pvrtc_hq_encode,      # quality="high" fleet viability
     "pipeline_mixed": bench_pipeline,       # BASELINE config 5 (1-chip slice)
     "pipeline_fleet": bench_pipeline_fleet,  # BASELINE config 5 (10k fleet)
     "transcode_dxt1_etc1": bench_transcode,
