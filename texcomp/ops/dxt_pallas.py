@@ -533,26 +533,31 @@ def _dxt1_color_codes(bits_word, shape):
     return ((jnp.broadcast_to(bits_word, shape).astype(jnp.int32) >> sh) & 3)
 
 
+def _dxt1_decode_channels(w0, w1, always4, swap):
+    """(1, T) LE block words -> (r, g, b) decoded (16, T) channel planes."""
+    c0_16 = w0 & 0xFFFF
+    c1_16 = (w0 >> 16) & 0xFFFF
+    pal = _decode_palette(c0_16, c1_16, always4, swap)
+    code = _dxt1_color_codes(w1, (16, w0.shape[1]))
+    return (_select4(code, pal[0]), _select4(code, pal[1]),
+            _select4(code, pal[2]))
+
+
 def _dxt1_decode_kernel(w_ref, out_ref, *, always4, swap):
     w = w_ref[:].astype(jnp.int32)  # (2, T): LE words of the 8-byte block
-    c0_16 = w[0][None, :] & 0xFFFF
-    c1_16 = (w[0][None, :] >> 16) & 0xFFFF
-    pal = _decode_palette(c0_16, c1_16, always4, swap)
-    code = _dxt1_color_codes(w[1][None, :], (16, w.shape[1]))
-    r = _select4(code, pal[0])
-    g = _select4(code, pal[1])
-    b = _select4(code, pal[2])
+    r, g, b = _dxt1_decode_channels(w[0][None, :], w[1][None, :],
+                                    always4, swap)
     px = (r.astype(_U32) | (g.astype(_U32) << 8) | (b.astype(_U32) << 16))
     out_ref[:] = px
 
 
-def _dxt5_decode_kernel(w_ref, out_ref, *, swap):
-    w = w_ref[:].astype(jnp.int32)  # (4, T) LE words
-    t = w.shape[1]
-    a0 = w[0][None, :] & 255
-    a1 = (w[0][None, :] >> 8) & 255
-    half0 = ((w[0][None, :] >> 16) & 0xFFFF) | ((w[1][None, :] & 255) << 16)
-    half1 = (w[1][None, :] >> 8) & 0xFFFFFF
+def _dxt5_decode_channels(w0, w1, w2, w3, swap):
+    """(1, T) LE block words -> (r, g, b, alpha) decoded (16, T) planes."""
+    t = w0.shape[1]
+    a0 = w0 & 255
+    a1 = (w0 >> 8) & 255
+    half0 = ((w0 >> 16) & 0xFFFF) | ((w1 & 255) << 16)
+    half1 = (w1 >> 8) & 0xFFFFFF
 
     # Alpha ramp (DecodeAlphaValues, dxtc_compressor.cc:195-217).
     interp_mode = a0 > a1
@@ -575,13 +580,18 @@ def _dxt5_decode_kernel(w_ref, out_ref, *, swap):
     for i in range(1, 8):
         alpha = jnp.where(acode == i, ramp[i], alpha)
 
-    c0_16 = w[2][None, :] & 0xFFFF
-    c1_16 = (w[2][None, :] >> 16) & 0xFFFF
+    c0_16 = w2 & 0xFFFF
+    c1_16 = (w2 >> 16) & 0xFFFF
     pal = _decode_palette(c0_16, c1_16, always4=True, swap=swap)
-    code = _dxt1_color_codes(w[3][None, :], (16, t))
-    r = _select4(code, pal[0])
-    g = _select4(code, pal[1])
-    b = _select4(code, pal[2])
+    code = _dxt1_color_codes(w3, (16, t))
+    return (_select4(code, pal[0]), _select4(code, pal[1]),
+            _select4(code, pal[2]), alpha)
+
+
+def _dxt5_decode_kernel(w_ref, out_ref, *, swap):
+    w = w_ref[:].astype(jnp.int32)  # (4, T) LE words
+    r, g, b, alpha = _dxt5_decode_channels(
+        w[0][None, :], w[1][None, :], w[2][None, :], w[3][None, :], swap)
     px = (r.astype(_U32) | (g.astype(_U32) << 8) | (b.astype(_U32) << 16)
           | (alpha.astype(_U32) << 24))
     out_ref[:] = px
@@ -678,3 +688,150 @@ def dxt5_encode_image(image: jax.Array, interpret: bool = False) -> jax.Array:
     flag = jnp.zeros((1, words.shape[1]), dtype=jnp.uint32)
     return encode_dxt5_packed(jnp.concatenate([words, flag], axis=0),
                               interpret=interpret).T
+
+
+# ---------------------------------------------------------------------------
+# Fused downsample+encode: one kernel per mip level (decode 2x2 source
+# blocks -> truncating 2x2 average -> encode the destination block, all in
+# VMEM). Replaces the chain's separate decode kernel + XLA average + encode
+# kernel per level — and, because levels chain through LE uint32 block
+# words, the blocks->image and image->blocks transposes between levels
+# vanish entirely (they existed only to produce the intermediate image).
+# Bit-identical to decode_*_image -> sum//4 -> *_encode_image (tested).
+# ---------------------------------------------------------------------------
+
+
+def _p4_matrix():
+    """(16, 64) bf16 average-and-regroup matrix, built from iotas (Mosaic
+    forbids captured array constants). Row p (destination pixel p = 4i+j)
+    holds 0.25 at the four source rows 16*g + s of the stacked group
+    planes, where g = 2*(i//2) + (j//2) is the source block of the 2x2
+    group and s ranges over the 2x2 source pixels of quarter
+    (qy, qx) = (i%2, j%2). The f32-accumulated matmul then yields the
+    EXACT sum/4 (operands are <=255 ints, exact in bf16), and the int32
+    cast truncates — identical to ComputeAveragePixel2x2's nonneg
+    sum // 4 (color_util.h:335-380)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (16, 64), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (16, 64), 1)
+    i, j = row >> 2, row & 3
+    g = 2 * (i >> 1) + (j >> 1)
+    qy, qx = i & 1, j & 1
+    d = (col & 15) - (8 * qy + 2 * qx)
+    hit = ((col >> 4) == g) & ((d == 0) | (d == 1) | (d == 4) | (d == 5))
+    return jnp.where(hit, 0.25, 0.0).astype(jnp.bfloat16)
+
+
+def _avg_regroup(group_chans):
+    """[group][channel] (16, T) decoded planes of the 2x2 source-block
+    group -> [channel] (16, T) truncating-averaged destination planes,
+    via one MXU matmul per channel."""
+    p4 = _p4_matrix()
+    nch = len(group_chans[0])
+    out = []
+    for ch in range(nch):
+        stacked = jnp.concatenate(
+            [group_chans[g][ch] for g in range(4)], axis=0)  # (64, T)
+        s = jax.lax.dot_general(
+            p4, stacked.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out.append(s.astype(jnp.int32))
+    return out
+
+
+def _dxt1_words_out(c0, c1, rows):
+    w0 = (c0 | (c1 << 16)).astype(_U32)
+    w1 = (rows[0] | (rows[1] << 8) | (rows[2] << 16)
+          | (rows[3] << 24)).astype(_U32)
+    return jnp.concatenate([w0, w1], axis=0)
+
+
+def _dxt1_down_kernel(lut_t_ref, w_ref, out_ref):
+    w = w_ref[:].astype(jnp.int32)  # (8, T): words of the 4 source blocks
+    chans = [_dxt1_decode_channels(w[2 * g][None, :], w[2 * g + 1][None, :],
+                                   always4=False, swap=False)
+             for g in range(4)]
+    r, g, b = _avg_regroup(chans)
+    is_const, blo, c0, c1, rows = _dxt1_general(r, g, b)
+    out_ref[:] = _dxt1_words_out(c0, c1, rows)
+
+    @pl.when(jnp.any(is_const))
+    def _const_path():
+        mc0, mc1, mrows = _dxt1_const_merge(
+            lut_t_ref, is_const, blo, c0, c1, rows, always4=False, swap=False)
+        out_ref[:] = _dxt1_words_out(mc0, mc1, mrows)
+
+
+def _dxt5_down_kernel(lut_t_ref, w_ref, out_ref):
+    w = w_ref[:].astype(jnp.int32)  # (16, T): words of the 4 source blocks
+    chans = [_dxt5_decode_channels(w[4 * g][None, :], w[4 * g + 1][None, :],
+                                   w[4 * g + 2][None, :], w[4 * g + 3][None, :],
+                                   swap=False)
+             for g in range(4)]
+    r, g, b, a = _avg_regroup(chans)
+
+    a0, a1, code = _alpha_codes(a)
+    half0 = jnp.zeros_like(a0)
+    half1 = jnp.zeros_like(a0)
+    for i in range(8):
+        half0 = half0 | (code[i][None, :] << (3 * i))
+        half1 = half1 | (code[8 + i][None, :] << (3 * i))
+
+    is_const, blo, c0, c1, rows = _dxt1_general(r, g, b)
+
+    def emit(c0, c1, rows):
+        w0 = (a0 | (a1 << 8) | ((half0 & 0xFFFF) << 16)).astype(_U32)
+        w1 = ((half0 >> 16) | (half1 << 8)).astype(_U32)
+        return jnp.concatenate([w0, w1, _dxt1_words_out(c0, c1, rows)],
+                               axis=0)
+
+    out_ref[:] = emit(c0, c1, rows)
+
+    @pl.when(jnp.any(is_const))
+    def _const_path():
+        mc0, mc1, mrows = _dxt1_const_merge(
+            lut_t_ref, is_const, blo, c0, c1, rows, always4=True, swap=False)
+        out_ref[:] = emit(mc0, mc1, mrows)
+
+
+@partial(jax.jit, static_argnames=("nby", "nbx", "is_dxt1", "interpret"))
+def dxtc_downsample_encode_words(words: jax.Array, *, nby: int, nbx: int,
+                                 is_dxt1: bool,
+                                 interpret: bool = False) -> jax.Array:
+    """(wpb, N_src) uint32 LE block words on an (nby, nbx) source block
+    grid (both even) -> (wpb, N_src/4) words of the 2x downsampled level.
+
+    The source words are pre-permuted so destination block d's four
+    source blocks sit at sublanes [g*wpb, (g+1)*wpb) of lane d — a pure
+    32-bit major-dims transpose — then one kernel performs the whole
+    decode -> truncating average -> encode level."""
+    wpb = 2 if is_dxt1 else 4
+    grouped = (words.reshape(wpb, nby // 2, 2, nbx // 2, 2)
+               .transpose(2, 4, 0, 1, 3).reshape(4 * wpb, -1))
+    n = grouped.shape[1]
+    tile = _tile_for(n)
+    grouped = _pad_lanes(grouped, tile)
+    np_ = grouped.shape[1]
+    kernel = _dxt1_down_kernel if is_dxt1 else _dxt5_down_kernel
+    out = pl.pallas_call(
+        kernel,
+        grid=(np_ // tile,),
+        in_specs=[
+            pl.BlockSpec((8, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * wpb, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wpb, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((wpb, np_), jnp.uint32),
+        interpret=interpret,
+    )(_lut_t_bf16(), grouped)
+    return out[:, :n]
+
+
+def words_to_blocks(words: jax.Array) -> jax.Array:
+    """(wpb, N) uint32 LE words -> (N, 4*wpb) uint8 block bytes (the
+    inverse of blocks_to_words; the transpose is 32-bit, the bitcast
+    free)."""
+    w = words.T  # (N, wpb)
+    return jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(w.shape[0], -1)
