@@ -701,7 +701,7 @@ def dxt5_encode_image(image: jax.Array, interpret: bool = False) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _p4_matrix():
+def _p4_matrix(perm=None):
     """(16, 64) bf16 average-and-regroup matrix, built from iotas (Mosaic
     forbids captured array constants). Row p (destination pixel p = 4i+j)
     holds 0.25 at the four source rows 16*g + s of the stacked group
@@ -710,9 +710,18 @@ def _p4_matrix():
     (qy, qx) = (i%2, j%2). The f32-accumulated matmul then yields the
     EXACT sum/4 (operands are <=255 ints, exact in bf16), and the int32
     cast truncates — identical to ComputeAveragePixel2x2's nonneg
-    sum // 4 (color_util.h:335-380)."""
+    sum // 4 (color_util.h:335-380).
+
+    ``perm`` (an optional 16-entry static row permutation) emits the
+    destination planes directly in a permuted pixel order — e.g. ETC1's
+    _PERM_F subblock grouping — for free inside the same matmul."""
     row = jax.lax.broadcasted_iota(jnp.int32, (16, 64), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (16, 64), 1)
+    if perm is not None:
+        mapped = jnp.zeros_like(row)
+        for k in range(16):
+            mapped = jnp.where(row == k, int(perm[k]), mapped)
+        row = mapped
     i, j = row >> 2, row & 3
     g = 2 * (i >> 1) + (j >> 1)
     qy, qx = i & 1, j & 1
@@ -721,11 +730,12 @@ def _p4_matrix():
     return jnp.where(hit, 0.25, 0.0).astype(jnp.bfloat16)
 
 
-def _avg_regroup(group_chans):
+def _avg_regroup(group_chans, perm=None):
     """[group][channel] (16, T) decoded planes of the 2x2 source-block
     group -> [channel] (16, T) truncating-averaged destination planes,
-    via one MXU matmul per channel."""
-    p4 = _p4_matrix()
+    via one MXU matmul per channel. ``perm`` permutes the output rows
+    (see _p4_matrix)."""
+    p4 = _p4_matrix(perm)
     nch = len(group_chans[0])
     out = []
     for ch in range(nch):

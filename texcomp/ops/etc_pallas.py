@@ -245,12 +245,9 @@ def _heuristic_flip(rgb):
     return ~(err3(left, right) > err3(top, bottom))
 
 
-def _etc1_kernel(px_ref, pxp_ref, out_ref, *, strategy):
-    w = px_ref[:].astype(jnp.int32)
-    rgb = (w & 255, (w >> 8) & 255, (w >> 16) & 255)
-    wp = pxp_ref[:].astype(jnp.int32)
-    rgbp = (wp & 255, (wp >> 8) & 255, (wp >> 16) & 255)
-
+def _etc1_words_from_channels(rgb, rgbp, strategy):
+    """Strategy dispatch + LE word emission on decoded channel planes.
+    rgb / rgbp: 3-tuples of (16, T) pixels in natural / _PERM_F order."""
     if strategy == SPLIT_HORIZONTALLY:
         hi, lo, _ = _encode_flip(rgb, rgbp, True, strategy)
     elif strategy == SPLIT_VERTICALLY:
@@ -272,7 +269,15 @@ def _etc1_kernel(px_ref, pxp_ref, out_ref, *, strategy):
     # = low byte of word 0): byte-splitting to (8, T) uint8 here would force
     # the image-level (8, N) -> (N, 8) relayout to happen at 8-bit, ~100x
     # slower than the 32-bit transpose the words form allows.
-    out_ref[:] = jnp.concatenate([_bswap32(hi), _bswap32(lo)], axis=0)
+    return jnp.concatenate([_bswap32(hi), _bswap32(lo)], axis=0)
+
+
+def _etc1_kernel(px_ref, pxp_ref, out_ref, *, strategy):
+    w = px_ref[:].astype(jnp.int32)
+    rgb = (w & 255, (w >> 8) & 255, (w >> 16) & 255)
+    wp = pxp_ref[:].astype(jnp.int32)
+    rgbp = (wp & 255, (wp >> 8) & 255, (wp >> 16) & 255)
+    out_ref[:] = _etc1_words_from_channels(rgb, rgbp, strategy)
 
 
 def _pad_lanes(x, tile):
@@ -300,13 +305,12 @@ def _select8(idx, table_col):
     return out
 
 
-def _etc1_decode_kernel(w_ref, out_ref):
-    """(2, T) uint32 LE words of 8-byte blocks -> (16, T) packed RGB pixels
-    (Etc1BlockDecoder, etc_compressor.cc:227-273)."""
-    w = w_ref[:]
-    t = w.shape[1]
-    hi = _bswap32(w[0][None, :]).astype(jnp.int32)  # file order is BE
-    lo = _bswap32(w[1][None, :]).astype(jnp.int32)
+def _etc1_decode_channels(w0, w1):
+    """(1, T) uint32 LE block words -> (r, g, b) decoded (16, T) int32
+    planes (Etc1BlockDecoder, etc_compressor.cc:227-273)."""
+    t = w0.shape[1]
+    hi = _bswap32(w0).astype(jnp.int32)  # file order is BE
+    lo = _bswap32(w1).astype(jnp.int32)
 
     flip = hi & 1
     diff = (hi >> 1) & 1
@@ -349,9 +353,16 @@ def _etc1_decode_kernel(w_ref, out_ref):
         base = jnp.where(is_first, jnp.broadcast_to(ch1, (16, t)),
                          jnp.broadcast_to(ch2, (16, t)))
         out.append(jnp.clip(base + modifier, 0, 255))
-    px_words = (out[0].astype(_U32) | (out[1].astype(_U32) << 8)
-                | (out[2].astype(_U32) << 16))
-    out_ref[:] = px_words
+    return tuple(out)
+
+
+def _etc1_decode_kernel(w_ref, out_ref):
+    """(2, T) uint32 LE words of 8-byte blocks -> (16, T) packed RGB
+    pixels."""
+    w = w_ref[:]
+    r, g, b = _etc1_decode_channels(w[0][None, :], w[1][None, :])
+    out_ref[:] = (r.astype(_U32) | (g.astype(_U32) << 8)
+                  | (b.astype(_U32) << 16))
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -471,3 +482,51 @@ def etc1_encode_padded_image(image: jax.Array, grid_height: int,
     words = pack_rgb_image(image)
     return etc1_words_to_blocks(
         encode_etc1_words(words, strategy, interpret=interpret))
+
+
+# ---------------------------------------------------------------------------
+# Fused downsample+encode (mip levels): decode the 2x2 source-block group,
+# truncating-average, and re-encode the destination block in one kernel —
+# see dxt_pallas for the layout story. The ETC twist: the encoder needs
+# the destination pixels in BOTH natural and _PERM_F row order; the
+# permuted copy falls out of the same average-and-regroup matmul with
+# permuted rows, so it costs three extra tiny MXU ops instead of a
+# sublane shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _etc1_down_kernel(w_ref, out_ref, *, strategy):
+    from texcomp.ops.dxt_pallas import _avg_regroup
+
+    w = w_ref[:]  # (8, T): LE words of the 4 source blocks
+    chans = [_etc1_decode_channels(w[2 * g][None, :], w[2 * g + 1][None, :])
+             for g in range(4)]
+    rgb = tuple(_avg_regroup(chans))
+    rgbp = tuple(_avg_regroup(chans, perm=_PERM_F))
+    out_ref[:] = _etc1_words_from_channels(rgb, rgbp, strategy)
+
+
+@partial(jax.jit, static_argnames=("nby", "nbx", "strategy", "interpret"))
+def etc1_downsample_encode_words(words: jax.Array, *, nby: int, nbx: int,
+                                 strategy: int = SMALLER_ERROR,
+                                 interpret: bool = False) -> jax.Array:
+    """(2, N_src) uint32 LE ETC1 words on an (nby, nbx) source block grid
+    (both even) -> (2, N_src/4) words of the 2x downsampled level;
+    bit-identical to decode -> truncating 2x2 average -> encode."""
+    grouped = (words.reshape(2, nby // 2, 2, nbx // 2, 2)
+               .transpose(2, 4, 0, 1, 3).reshape(8, -1))
+    n = grouped.shape[1]
+    tile = min(LANE_TILE, max(128, 1 << (n - 1).bit_length()))
+    grouped = _pad_lanes(grouped, tile)
+    np_ = grouped.shape[1]
+    out = pl.pallas_call(
+        partial(_etc1_down_kernel, strategy=strategy),
+        grid=(np_ // tile,),
+        in_specs=[pl.BlockSpec((8, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((2, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, np_), jnp.uint32),
+        interpret=interpret,
+    )(grouped)
+    return out[:, :n]

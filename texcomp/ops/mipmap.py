@@ -61,18 +61,24 @@ def mipmap_chain(data: jax.Array, *, height: int, width: int, codec: str,
     cur = data
     h, w = height, width
 
-    # DXT fast path: one fused decode->average->encode kernel per level,
-    # chained through LE uint32 block words (dxt_pallas.
-    # dxtc_downsample_encode_words) — no intermediate image, no
+    # Fast path: one fused decode->average->encode kernel per level,
+    # chained through LE uint32 block words (dxtc_downsample_encode_words /
+    # etc1_downsample_encode_words) — no intermediate image, no
     # blocks<->image transposes, half the kernel launches. Bit-identical
     # to the generic loop below (tested in tests/test_mipmap.py).
-    if codec in ("dxt1", "dxt5"):
+    if codec in ("dxt1", "dxt5", "etc1"):
         is_dxt1 = codec == "dxt1"
-        cur_words = dxt_pallas.blocks_to_words(data, 2 if is_dxt1 else 4)
+        cur_words = dxt_pallas.blocks_to_words(
+            data, 4 if codec == "dxt5" else 2)
         while len(outs) < levels and (h // 2) * (w // 2) >= _SMALL_LEVEL:
-            cur_words = dxt_pallas.dxtc_downsample_encode_words(
-                cur_words, nby=h // 4, nbx=w // 4, is_dxt1=is_dxt1,
-                interpret=interpret)
+            if codec == "etc1":
+                cur_words = etc_pallas.etc1_downsample_encode_words(
+                    cur_words, nby=h // 4, nbx=w // 4, strategy=strategy,
+                    interpret=interpret)
+            else:
+                cur_words = dxt_pallas.dxtc_downsample_encode_words(
+                    cur_words, nby=h // 4, nbx=w // 4, is_dxt1=is_dxt1,
+                    interpret=interpret)
             cur = dxt_pallas.words_to_blocks(cur_words)
             outs.append(cur)
             h //= 2
