@@ -125,6 +125,27 @@ def bench_pvrtc4_encode(h: int = 2048, w: int = 2048) -> float:
     return (h * w) / dt / 1e6
 
 
+def bench_etc1_mipmap_chain(size: int = 2048) -> float:
+    """Full ETC1 mipmap chain (fused per-level downsample+encode kernels),
+    same accounting as bench_mipmap_chain."""
+    from texcomp.ops import etc_pallas
+    from texcomp.ops.mipmap import mipmap_chain, num_chain_levels
+
+    img = _rand_image(size, size, 3)
+    data = jax.block_until_ready(etc_pallas.etc1_encode_image(img))
+    levels = num_chain_levels(size, size)
+    src_pixels = sum((size // (2 ** k)) ** 2 for k in range(levels))
+
+    def op(d):
+        outs = mipmap_chain(d, height=size, width=size, codec="etc1",
+                            levels=levels)
+        return jnp.concatenate([o.reshape(1, -1).astype(jnp.uint32).sum(
+            axis=1, keepdims=True) for o in outs], axis=1)
+
+    dt = _time_op(op, data, iters=5)
+    return src_pixels / dt / 1e6
+
+
 def bench_pvrtc_hq_encode(h: int = 1024, w: int = 1024) -> float:
     """quality="high" 2bpp encode incl. the never-worse best-of — the
     fleet-viability bar for HQ in the asset pipeline (~46-49 Mpix/s)."""
@@ -277,6 +298,7 @@ def bench_pipeline_fleet_e2e(scale: int = 1) -> float:
 _EXTRA_BENCHES = {
     "dxt5_encode": bench_dxt5_encode,       # BASELINE config 2
     "dxt5_mipmap": bench_mipmap_chain,      # BASELINE config 2 (chain)
+    "etc1_mipmap": bench_etc1_mipmap_chain,  # fused ETC1 chain
     "etc1_encode": bench_etc1_encode,       # BASELINE config 3
     "pvrtc_encode": bench_pvrtc_encode,     # BASELINE config 4 (2bpp parity bar)
     "pvrtc4_encode": bench_pvrtc4_encode,   # BASELINE config 4 (4bpp extension)
