@@ -135,3 +135,50 @@ def test_etc1_downsample_chain_api(rng):
             np.asarray(got.get_data()), np.asarray(nxt.get_data()),
             err_msg=f"level {lvl + 1}")
         cur = nxt
+
+
+@pytest.mark.parametrize("codec", ["dxt1", "dxt5", "etc1"])
+def test_fused_downsample_kernel_byte_exact(codec, rng):
+    """The fused decode->average->encode kernels (one per mip level) must
+    byte-match the unfused decode-image -> truncating-average -> encode
+    pipeline they replace."""
+    from texcomp.ops import dxt_pallas as dp
+    from texcomp.ops import etc_pallas as ep
+
+    h = w = 64
+    c = 3 if codec in ("dxt1", "etc1") else 4
+    img = jnp.asarray(make_test_image(rng, h, w, c).reshape(h, w, c))
+    if codec == "dxt1":
+        data = dp.dxt1_encode_image(img, interpret=True)
+        dec = dp.dxt1_decode_image(data, height=h, width=w,
+                                   interpret=True)[:, :, :3]
+    elif codec == "dxt5":
+        data = dp.dxt5_encode_image(img, interpret=True)
+        dec = dp.dxt5_decode_image(data, height=h, width=w, interpret=True)
+    else:
+        data = ep.etc1_encode_image(img, interpret=True)
+        dec = ep.etc1_decode_image(data, height=h, width=w,
+                                   interpret=True)[:, :, :3]
+    avg = ((np.asarray(dec).astype(np.int32)
+            .reshape(h // 2, 2, w // 2, 2, dec.shape[-1]).sum(axis=(1, 3)))
+           >> 2).astype(np.uint8)
+    if codec == "dxt1":
+        want = np.asarray(dp.dxt1_encode_image(jnp.asarray(avg),
+                                               interpret=True))
+        wdst = dp.dxtc_downsample_encode_words(
+            dp.blocks_to_words(data, 2), nby=h // 4, nbx=w // 4,
+            is_dxt1=True, interpret=True)
+    elif codec == "dxt5":
+        want = np.asarray(dp.dxt5_encode_image(jnp.asarray(avg),
+                                               interpret=True))
+        wdst = dp.dxtc_downsample_encode_words(
+            dp.blocks_to_words(data, 4), nby=h // 4, nbx=w // 4,
+            is_dxt1=False, interpret=True)
+    else:
+        want = np.asarray(ep.etc1_encode_image(jnp.asarray(avg),
+                                               interpret=True))
+        wdst = ep.etc1_downsample_encode_words(
+            dp.blocks_to_words(data, 2), nby=h // 4, nbx=w // 4,
+            interpret=True)
+    got = np.asarray(dp.words_to_blocks(wdst))
+    np.testing.assert_array_equal(got, want)
