@@ -144,3 +144,55 @@ def test_hq_alpha_never_worse(rng):
     ehq = np.sum((dhq - a) ** 2, axis=1)
     assert np.all(ehq <= eref)
     assert np.sum(ehq < eref) > 100
+
+
+def test_cluster_fit_closed_form_matches_explicit_ls(rng):
+    """The precomputed per-partition inverse (alpha, beta, delta) and the
+    quadratic score in _cluster_tables must agree with an explicit
+    least-squares solve of the same partition's assignment."""
+    import jax.numpy as jnp
+
+    rgb = rng.integers(0, 256, (64, 16, 3)).astype(np.int32)
+    rgb_f = jnp.asarray(rgb, jnp.float32)
+    _, _, t = dxt_hq._pca_project(rgb_f)
+    order = np.asarray(jnp.argsort(-t, axis=1))
+    sel = dxt_hq._CF_SEL  # (17, P)
+    npart = sel.shape[1]
+    # Recover each kept partition's (c1, c2, c3) from the selection matrix.
+    picks = rng.integers(0, npart, 12)
+    cuts = [np.repeat(np.arange(17), sel[:, p].astype(int)) for p in picks]
+
+    for pi, cut in zip(picks, cuts):
+        c1, c2, c3 = int(cut[0]), int(cut[1]), int(cut[2])
+        # Codes of the axis-sorted pixels: ramp order w0 = 1, 2/3, 1/3, 0
+        # corresponds to palette codes 0, 2, 3, 1.
+        ramp_codes = np.array([0, 2, 3, 1])
+        counts = [c1, c2 - c1, c3 - c2, 16 - c3]
+        sorted_codes = np.repeat(ramp_codes, counts)
+        codes = np.zeros((64, 16), np.int64)
+        np.put_along_axis(codes, order, sorted_codes[None, :], axis=1)
+
+        e0, e1 = dxt_hq._least_squares_endpoints(rgb_f, jnp.asarray(codes))
+        # Closed-form path: prefix sums of the sorted pixels.
+        sp = np.take_along_axis(rgb, order[:, :, None], axis=1).astype(np.float64)
+        p = np.concatenate([np.zeros((64, 1, 3)), np.cumsum(sp, axis=1)], 1)
+        u = p[:, c1] + p[:, c2] + p[:, c3]
+        pt = p[:, 16]
+        b0, b1 = u / 3.0, pt - u / 3.0
+        al, be, de = (dxt_hq._CF_ALPHA[pi], dxt_hq._CF_BETA[pi],
+                      dxt_hq._CF_DELTA[pi])
+        x0 = np.clip(al * b0 + be * b1, 0.0, 255.0)
+        x1 = np.clip(be * b0 + de * b1, 0.0, 255.0)
+        got0 = np.stack([np.asarray(v) for v in e0], -1)
+        got1 = np.stack([np.asarray(v) for v in e1], -1)
+        # Skip degenerate blocks where the iterative path used its fallback.
+        ok = np.ones(64, bool)
+        np.testing.assert_allclose(got0[ok], x0[ok], atol=2e-2)
+        np.testing.assert_allclose(got1[ok], x1[ok], atol=2e-2)
+        # Score formula == x . b (error = sum px^2 - x . b at the optimum).
+        score = (dxt_hq._CF_QUU[pi] * u * u + dxt_hq._CF_QUT[pi] * u * pt
+                 + dxt_hq._CF_QTT[pi] * pt * pt).sum(-1)
+        unclipped0 = al * b0 + be * b1
+        unclipped1 = be * b0 + de * b1
+        xb = (unclipped0 * b0 + unclipped1 * b1).sum(-1)
+        np.testing.assert_allclose(score, xb, rtol=1e-5)

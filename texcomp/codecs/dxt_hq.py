@@ -104,9 +104,9 @@ def _quantize_endpoints(e0, e1):
     return c0, c1
 
 
-def _pca_endpoints(rgb_f):
-    """Initial endpoints: project onto the principal axis (3 power
-    iterations on the 3x3 covariance), take the extreme projections."""
+def _pca_project(rgb_f):
+    """Principal-axis projections: 3 power iterations on the 3x3 block
+    covariance. Returns (mean (N, 1, 3), axis (N, 3), t (N, 16))."""
     mean = jnp.mean(rgb_f, axis=1, keepdims=True)  # (N, 1, 3)
     d = rgb_f - mean  # (N, 16, 3)
     cov = jnp.einsum("npi,npj->nij", d, d)  # (N, 3, 3)
@@ -115,6 +115,13 @@ def _pca_endpoints(rgb_f):
         v = jnp.einsum("nij,nj->ni", cov, v)
         v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-6)
     t = jnp.einsum("npi,ni->np", d, v)  # (N, 16)
+    return mean, v, t
+
+
+def _pca_endpoints(rgb_f):
+    """Initial endpoints: the extreme projections along the principal
+    axis."""
+    mean, v, t = _pca_project(rgb_f)
     tmin = jnp.min(t, axis=1, keepdims=True)
     tmax = jnp.max(t, axis=1, keepdims=True)
     e0 = mean[:, 0, :] + tmin * v  # (N, 3)
@@ -122,6 +129,132 @@ def _pca_endpoints(rgb_f):
     e0 = jnp.clip(e0, 0.0, 255.0)
     e1 = jnp.clip(e1, 0.0, 255.0)
     return ([e0[:, c] for c in range(3)], [e1[:, c] for c in range(3)])
+
+
+# --- cluster-fit enumeration (squish-style, 4-color mode) ---------------
+#
+# The optimal 4-color index assignment is contiguous along the principal
+# axis (the palette is collinear), so the full assignment space collapses
+# to the 969 ordered partitions (c1 <= c2 <= c3 in 0..16) of the 16
+# axis-sorted pixels into the ramp clusters with weights w0 = 1, 2/3,
+# 1/3, 0. For each partition the least-squares endpoints are closed-form
+# in the sorted prefix sums P: with u = P[c1] + P[c2] + P[c3] and the
+# block total Pt, the normal equations' RHS is (b0, b1) = (u/3, Pt - u/3)
+# and the 2x2 system matrix depends only on the cluster counts — so its
+# inverse (alpha, beta, delta) and the resulting error-minimizing score
+#   score = alpha*b0^2 + 2*beta*b0*b1 + delta*b1^2   (summed over RGB)
+# are precomputable per partition. Scoring all partitions is one
+# (N, 17, 3) x (17, P) matmul + elementwise math; only the top-k scoring
+# partitions get quantized + exactly re-scored. Partitions with singular
+# normal equations (everything in one endpoint cluster) are excluded at
+# module level — their solutions are spanned by the other candidates.
+def _cluster_tables():
+    # All ordered cuts, weight orientation fixed at (1, 2/3, 1/3, 0): no
+    # duplicates — reversing the weights on the same cuts is the endpoint
+    # swap (same candidate), but that orientation is never enumerated;
+    # mirrored cuts (16-c3, 16-c2, 16-c1) are genuinely different
+    # clusterings (verified: halving by that "symmetry" lost 0.04 dB).
+    parts = np.array(
+        [(c1, c2, c3)
+         for c1 in range(17)
+         for c2 in range(c1, 17)
+         for c3 in range(c2, 17)],
+        np.int64,
+    )
+    n0 = parts[:, 0].astype(np.float64)
+    n1 = (parts[:, 1] - parts[:, 0]).astype(np.float64)
+    n2 = (parts[:, 2] - parts[:, 1]).astype(np.float64)
+    n3 = 16.0 - parts[:, 2].astype(np.float64)
+    a00 = n0 + 4.0 * n1 / 9.0 + n2 / 9.0
+    a01 = 2.0 * (n1 + n2) / 9.0
+    a11 = n3 + 4.0 * n2 / 9.0 + n1 / 9.0
+    det = a00 * a11 - a01 * a01
+    keep = np.abs(det) > 1e-9
+    parts, a00, a01, a11, det = (x[keep] for x in (parts, a00, a01, a11, det))
+    alpha = a11 / det
+    beta = -a01 / det
+    delta = a00 / det
+    # Prefix-sum selection matrix: U[:, p] = P[c1] + P[c2] + P[c3].
+    sel = np.zeros((17, parts.shape[0]), np.float32)
+    for k in range(3):
+        np.add.at(sel, (parts[:, k], np.arange(parts.shape[0])), 1.0)
+    # Quadratic score coefficients in (u, Pt): b0 = u/3, b1 = Pt - u/3.
+    quu = (alpha - 2.0 * beta + delta) / 9.0
+    qut = 2.0 * (beta - delta) / 3.0
+    qtt = delta
+    f32 = lambda x: x.astype(np.float32)
+    # Pick table: one (P, 20) row per partition = [sel row | alpha, beta,
+    # delta], selected per block by a single one-hot matmul.
+    pick = np.concatenate(
+        [sel.T, f32(alpha)[:, None], f32(beta)[:, None], f32(delta)[:, None]],
+        axis=1,
+    ).astype(np.float32)
+    return (sel, pick, f32(quu), f32(qut), f32(qtt),
+            f32(alpha), f32(beta), f32(delta))
+
+
+(_CF_SEL, _CF_PICK, _CF_QUU, _CF_QUT, _CF_QTT,
+ _CF_ALPHA, _CF_BETA, _CF_DELTA) = _cluster_tables()
+_CLUSTER_TOPK = 4
+
+
+def _cluster_fit_candidates(rgb_f, topk: int = _CLUSTER_TOPK):
+    """Top-k cluster-fit endpoint candidates as packed-565 (c0, c1) pairs.
+
+    Squish-style joint solve: see _cluster_tables. The iterated-LS search
+    in _hq_color_words only refines a fixed assignment; this enumerates
+    assignments, which is where the remaining ~0.2 dB lives (measured on
+    the QUALITY.md photo set)."""
+    n = rgb_f.shape[0]
+    _, _, t = _pca_project(rgb_f)
+    # Descending projection order: cluster 0 is the w0 = 1 end.
+    order = jnp.argsort(-t, axis=1)  # (N, 16)
+    sp = jnp.take_along_axis(rgb_f, order[:, :, None], axis=1)
+    p = jnp.concatenate(
+        [jnp.zeros((n, 1, 3), jnp.float32), jnp.cumsum(sp, axis=1)], axis=1
+    )  # (N, 17, 3) prefix sums
+    # Stage barriers: p feeds the score loop AND every pick; without them
+    # XLA re-materializes the sort/cumsum (and the score) per consumer
+    # (measured 5x: ~1.5 s vs ~0.3 s at N=16384 on CPU).
+    p = jax.lax.optimization_barrier(p)
+    pt = p[:, 16, :]  # (N, 3)
+    # Score per channel so only (N, P) planes exist — never an (N, P, 3)
+    # tensor (XLA recomputed it per consumer when fully fused: 3.8 s ->
+    # ~0.2 s at N=16384 on CPU).
+    sel = jnp.asarray(_CF_SEL)  # (17, P)
+    score = jnp.zeros((n, _CF_SEL.shape[1]), jnp.float32)
+    quu, qut = jnp.asarray(_CF_QUU), jnp.asarray(_CF_QUT)
+    for c in range(3):
+        uc = p[:, :, c] @ sel  # (N, P) exact (ints < 2^24 in f32)
+        score = score + (quu[None, :] * uc + qut[None, :] * pt[:, c, None]) * uc
+    score = score + jnp.asarray(_CF_QTT)[None, :] * jnp.sum(pt * pt, -1)[:, None]
+    score = jax.lax.optimization_barrier(score)
+    _, idx = jax.lax.top_k(score, topk)  # (N, topk)
+    idx = jax.lax.optimization_barrier(idx)
+
+    # Per-pick selection: one one-hot f32 matmul against the small
+    # (P, 20) pick table (exact; avoids both the ~10 ns/element gather tax
+    # and any (N, P)-sized recompute — see CLAUDE.md playbook), then the
+    # 17-long sel row contracts the per-block prefix sums to u.
+    npart = _CF_SEL.shape[1]
+    pick_tab = jnp.asarray(_CF_PICK)  # (P, 20)
+    out = []
+    for k in range(topk):
+        onehot = (
+            idx[:, k, None] == jax.lax.broadcasted_iota(jnp.int32, (1, npart), 1)
+        ).astype(jnp.float32)  # (N, P)
+        picked = onehot @ pick_tab  # (N, 20)
+        w = picked[:, :17]  # per-block sel row (counts 0..3)
+        uk = jnp.einsum("ni,nic->nc", w, p)  # (N, 3)
+        al, be, de = picked[:, 17:18], picked[:, 18:19], picked[:, 19:20]
+        b0 = uk / 3.0
+        b1 = pt - b0
+        e0 = jnp.clip(al * b0 + be * b1, 0.0, 255.0)
+        e1 = jnp.clip(be * b0 + de * b1, 0.0, 255.0)
+        out.append(_quantize_endpoints(
+            [e0[:, c] for c in range(3)], [e1[:, c] for c in range(3)]
+        ))
+    return out
 
 
 def _perturb_565(c, ch: int, d: int):
@@ -175,6 +308,17 @@ def _hq_color_words(rgb):
                                      best, best_err)
             _, best, best_err = take(bc0, _perturb_565(bc1, ch, d),
                                      best, best_err)
+
+    # Cluster-fit assignment enumeration: each top-k partition's exact LS
+    # endpoints, scored exactly, plus one LS refit from its induced
+    # assignment (A/B on the QUALITY.md photos: +0.18-0.19 dB over the
+    # iterated-LS + probes incumbent; per-candidate probes add <0.01 dB
+    # more and are omitted).
+    for c0_k, c1_k in _cluster_fit_candidates(rgb_f):
+        codes_k, best, best_err = take(c0_k, c1_k, best, best_err)
+        e0, e1 = _least_squares_endpoints(rgb_f, codes_k)
+        _, best, best_err = take(*_quantize_endpoints(e0, e1),
+                                 best, best_err)
 
     c0, c1, codes = best
     # Enforce c0 > c1 (4-color mode) by swapping endpoints and remapping
