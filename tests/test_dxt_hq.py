@@ -196,3 +196,40 @@ def test_cluster_fit_closed_form_matches_explicit_ls(rng):
         unclipped1 = be * b0 + de * b1
         xb = (unclipped0 * b0 + unclipped1 * b1).sum(-1)
         np.testing.assert_allclose(score, xb, rtol=1e-5)
+
+
+def test_hq_alpha_exploits_explicit_scheme_on_bimodal(rng):
+    """Blocks mixing near-0/near-255 pixels with an interior cluster are
+    where the explicit scheme's free 0/255 entries win; the interior-seed
+    family must find them (reference extremes-ramp does not)."""
+    import jax.numpy as jnp
+    from texcomp.codecs import dxt_hq
+
+    n = 512
+    a = np.zeros((n, 16), np.int32)
+    kinds = rng.integers(0, 3, (n, 16))
+    a[kinds == 0] = rng.integers(0, 12, (kinds == 0).sum())
+    a[kinds == 1] = rng.integers(244, 256, (kinds == 1).sum())
+    a[kinds == 2] = rng.integers(90, 166, (kinds == 2).sum())
+    aj = jnp.asarray(a)
+
+    ref_a0 = jnp.max(aj, axis=1)
+    ref_a1 = jnp.min(aj, axis=1)
+    ref_codes, ref_err = dxt_hq._alpha_assign(aj, ref_a0, ref_a1)
+    a0, a1, codes = dxt_hq._hq_alpha(aj, ref_a0, ref_a1,
+                                     (ref_codes, ref_err))
+    ramp = dxt_hq._alpha_decode_ramp(a0, a1)
+    vals = jnp.take_along_axis(ramp, codes, axis=1)
+    hq_err = np.asarray(jnp.sum((vals - aj) ** 2, axis=-1), np.float64)
+    re = np.asarray(ref_err, np.float64)
+
+    assert np.all(hq_err <= re + 1e-3)
+    # The explicit scheme must actually be chosen for a solid share of
+    # these blocks...
+    assert float(np.mean(np.asarray(a0 <= a1))) > 0.3
+    # ...and the aggregate win must be large (catches seed-family
+    # regressions; measured +3.7 dB / 81% explicit share here vs the
+    # extremes ramp).
+    psnr_hq = 10 * np.log10(255.0**2 / (hq_err.sum() / (n * 16)))
+    psnr_ref = 10 * np.log10(255.0**2 / (re.sum() / (n * 16)))
+    assert psnr_hq - psnr_ref > 3.0

@@ -485,54 +485,100 @@ def _alpha_ls(a, codes, interp: bool):
 
 
 def _hq_alpha(a, ref_a0, ref_a1, ref_codes_err):
-    """HQ alpha endpoints: LS-refined candidates in both schemes, best-of
-    with the reference encoding. a: (N, 16). Returns (a0, a1, codes)."""
+    """HQ alpha endpoints: LS-refined candidates in both schemes plus the
+    seed families below, best-of with the reference encoding. a: (N, 16).
+    Returns (a0, a1, codes).
+
+    Every candidate is scored with _alpha_assign against the exact decode
+    ramp of its actual ordering (the scheme is derived from a0 vs a1), so
+    any integer pair is decodable and no validity gates are needed.
+
+    The Lloyd-style LS loop alone converges to poor local minima: an
+    exhaustive 256x256 endpoint enumeration on photo-statistics alpha
+    planes measured a +0.44-0.59 dB gap, with ~40% of the true optima in
+    the explicit scheme (free 0/255 entries) that extreme-seeded LS almost
+    never reaches. Three measured-complementary families close most of it
+    (smooth +0.24, random +0.45, bimodal +0.77 dB):
+      (a) explicit-scheme seeds from interior extremes — pixels within
+          ``margin`` of 0/255 ride the free constant entries, so the
+          6-level ramp is fit to the rest;
+      (b) shrunk-spread interp seeds — the optimal 8-level uniform
+          quantizer pulls endpoints inside the data extremes;
+      (c) a +-3 joint endpoint grid instead of +-1 (the gains keep
+          coming out to r~8, but past 3 the grid is the wrong tool —
+          the seed families cover the distant optima).
+    """
     best_a0, best_a1 = ref_a0, ref_a1
     best_codes, best_err = ref_codes_err
 
-    for interp in (True, False):
-        # Scheme-respecting init from the data extremes.
-        hi = jnp.max(a, axis=1)
-        lo = jnp.min(a, axis=1)
-        a0, a1 = (hi, lo) if interp else (lo, hi)
-        codes, _ = _alpha_assign(a, a0, a1)
-        for _ in range(2):
+    def consider(a0, a1, st):
+        b0, b1, bc, be = st
+        codes, err = _alpha_assign(a, a0, a1)
+        better = err < be
+        return (codes, (jnp.where(better, a0, b0), jnp.where(better, a1, b1),
+                        jnp.where(better[:, None], codes, bc),
+                        jnp.minimum(err, be)))
+
+    def polish(a0, a1, st, interp, iters=2):
+        """LS iterations under one scheme's weights, every step scored
+        exactly and folded into the running best."""
+        codes, st = consider(a0, a1, st)
+        for _ in range(iters):
             a0, a1 = _alpha_ls(a, codes, interp)
-            # Enforce the scheme's ordering constraint after rounding; codes
-            # are reassigned from scratch right after, so no remap is needed.
+            # Keep the iterate in the intended scheme after rounding (the
+            # candidate itself is scored on its actual ordering anyway).
             if interp:
                 a0, a1 = jnp.maximum(a0, a1), jnp.minimum(a0, a1)
             else:
                 a0, a1 = jnp.minimum(a0, a1), jnp.maximum(a0, a1)
-            codes, err = _alpha_assign(a, a0, a1)
-        # Candidate valid only if it lands in the intended scheme.
-        valid = (a0 > a1) if interp else (a0 <= a1)
-        err = jnp.where(valid, err, jnp.inf)
-        better = err < best_err
-        best_a0 = jnp.where(better, a0, best_a0)
-        best_a1 = jnp.where(better, a1, best_a1)
-        best_codes = jnp.where(better[:, None], codes, best_codes)
-        best_err = jnp.minimum(err, best_err)
+            codes, st = consider(a0, a1, st)
+        return st
 
-    # ±1 neighborhood of the converged endpoints, scored by the exact
-    # decode ramp (any (a0, a1) pair is decodable — the scheme is derived
-    # from the ordering, so no validity gate is needed). The LS optimum
-    # rounds each endpoint independently; the best joint pair often sits
-    # one step off.
-    ca0, ca1 = best_a0, best_a1
-    for d0 in (-1, 0, 1):
-        for d1 in (-1, 0, 1):
-            if d0 == 0 and d1 == 0:
-                continue
-            a0 = jnp.clip(ca0 + d0, 0, 255)
-            a1 = jnp.clip(ca1 + d1, 0, 255)
-            codes, err = _alpha_assign(a, a0, a1)
-            better = err < best_err
-            best_a0 = jnp.where(better, a0, best_a0)
-            best_a1 = jnp.where(better, a1, best_a1)
-            best_codes = jnp.where(better[:, None], codes, best_codes)
-            best_err = jnp.minimum(err, best_err)
-    return best_a0, best_a1, best_codes
+    st = (best_a0, best_a1, best_codes, best_err)
+    hi = jnp.max(a, axis=1)
+    lo = jnp.min(a, axis=1)
+
+    # Extreme-seeded LS in both schemes (the original round-2 search).
+    st = polish(hi, lo, st, interp=True)
+    st = polish(lo, hi, st, interp=False)
+
+    # (a) Interior-extreme explicit seeds.
+    for margin in (16, 32, 48, 64):
+        ilo = jnp.clip(jnp.min(jnp.where(a >= margin, a, 256), axis=1), 0, 255)
+        ihi = jnp.clip(jnp.max(jnp.where(a <= 255 - margin, a, -1), axis=1),
+                       0, 255)
+        st = polish(ilo, ihi, st, interp=False)
+
+    # (b) Shrunk-spread interp seeds.
+    c = (lo + hi).astype(jnp.float32) / 2.0
+    r = (hi - lo).astype(jnp.float32) / 2.0
+    for s in (0.75, 0.875):
+        s_lo = jnp.clip(jnp.round(c - r * s), 0, 255).astype(jnp.int32)
+        s_hi = jnp.clip(jnp.round(c + r * s), 0, 255).astype(jnp.int32)
+        st = polish(s_hi, s_lo, st, interp=True)
+
+    # (c) ±3 joint neighborhood of the best endpoints so far. The LS
+    # optimum rounds each endpoint independently; the best joint pair
+    # often sits a few steps off. lax.scan over the 48 offsets: one
+    # compiled body instead of a 48x-unrolled select chain.
+    ca0, ca1 = st[0], st[1]
+    offs = np.array([(d0, d1)
+                     for d0 in range(-3, 4)
+                     for d1 in range(-3, 4)
+                     if (d0, d1) != (0, 0)], np.int32)
+
+    def grid_step(carry, d):
+        b0, b1, bc, be = carry
+        a0 = jnp.clip(ca0 + d[0], 0, 255)
+        a1 = jnp.clip(ca1 + d[1], 0, 255)
+        codes, err = _alpha_assign(a, a0, a1)
+        better = err < be
+        return (jnp.where(better, a0, b0), jnp.where(better, a1, b1),
+                jnp.where(better[:, None], codes, bc),
+                jnp.minimum(err, be)), None
+
+    st, _ = jax.lax.scan(grid_step, st, jnp.asarray(offs))
+    return st[0], st[1], st[2]
 
 
 @partial(jax.jit, static_argnames=("swap_red_and_blue",))

@@ -237,8 +237,10 @@ def main() -> int:
         "",
         "Alpha-plane PSNR with a deterministic gradient+noise alpha (the",
         "photos have none). HQ refits both alpha ramp schemes by least",
-        "squares and searches a ±1 endpoint neighborhood, per-block",
-        "never-worse vs the reference's extreme-based endpoints.",
+        "squares from extreme, interior-extreme (explicit scheme) and",
+        "shrunk-spread (interp scheme) seeds, then searches a ±3 joint",
+        "endpoint neighborhood; per-block never-worse vs the reference's",
+        "extreme-based endpoints.",
         "",
         "## PVRTC 2BPP (square power-of-two crops)",
         "",
