@@ -252,3 +252,36 @@ def test_unblock_transpose_roundtrip(rng):
     words = dp._block_transpose_u32(jnp.asarray(img))
     back = np.asarray(dp._unblock_transpose_u32(words, h, w))
     np.testing.assert_array_equal(back, img)
+
+
+def test_multi_tile_grid_parity(rng):
+    """Every earlier parity test fits in ONE lane-grid step (n <= 2048 =
+    dxt_pallas.LANE_TILE); the production sizes the kernels exist for
+    (>= 8192**2 blocks) run many. Exercise >1 grid step + the padded tail
+    so the BlockSpec index maps and lane padding are covered."""
+    from texcomp.codecs import dxt, etc
+    from texcomp.ops import etc_pallas as ep
+    from texcomp.ops import pvrtc_fast as pf
+
+    n = dp.LANE_TILE + 600  # 2 grid steps, ragged tail
+
+    rgb = _random_blocks(rng, n, 3)
+    ref = np.asarray(dxt.encode_dxt1_blocks(jnp.asarray(rgb)))
+    out = np.asarray(
+        dp.encode_dxt1_packed(_to_words(rgb), interpret=True)
+    ).T
+    np.testing.assert_array_equal(out, ref)
+
+    ref_e = np.asarray(etc.encode_etc1_blocks(jnp.asarray(rgb), 0))
+    out_e = np.asarray(
+        ep.encode_etc1_packed(_to_words(rgb), 0, interpret=True)
+    ).T
+    np.testing.assert_array_equal(out_e, ref_e)
+
+    px = rng.integers(0, 2**32, (32, n), dtype=np.uint32)
+    px[:, 2100:2120] = 0  # all-zero-axis fallback in the second tile
+    p00wi = jnp.asarray(np.array([[11]], np.int32))
+    words = jnp.asarray(px)
+    ref_m = np.asarray(pf._morph_words(words, p00wi))
+    out_m = np.asarray(pf.morph_packed(words, p00wi, interpret=True))
+    np.testing.assert_array_equal(out_m, ref_m)
