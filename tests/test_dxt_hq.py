@@ -185,10 +185,11 @@ def test_cluster_fit_closed_form_matches_explicit_ls(rng):
         x1 = np.clip(be * b0 + de * b1, 0.0, 255.0)
         got0 = np.stack([np.asarray(v) for v in e0], -1)
         got1 = np.stack([np.asarray(v) for v in e1], -1)
-        # Skip degenerate blocks where the iterative path used its fallback.
-        ok = np.ones(64, bool)
-        np.testing.assert_allclose(got0[ok], x0[ok], atol=2e-2)
-        np.testing.assert_allclose(got1[ok], x1[ok], atol=2e-2)
+        # Every kept partition has det >= ~1/81, far above the iterative
+        # path's 1e-6 fallback threshold, so no degenerate-block exclusion
+        # is needed.
+        np.testing.assert_allclose(got0, x0, atol=2e-2)
+        np.testing.assert_allclose(got1, x1, atol=2e-2)
         # Score formula == x . b (error = sum px^2 - x . b at the optimum).
         score = (dxt_hq._CF_QUU[pi] * u * u + dxt_hq._CF_QUT[pi] * u * pt
                  + dxt_hq._CF_QTT[pi] * pt * pt).sum(-1)
@@ -233,3 +234,35 @@ def test_hq_alpha_exploits_explicit_scheme_on_bimodal(rng):
     psnr_hq = 10 * np.log10(255.0**2 / (hq_err.sum() / (n * 16)))
     psnr_ref = 10 * np.log10(255.0**2 / (re.sum() / (n * 16)))
     assert psnr_hq - psnr_ref > 3.0
+
+
+def test_cluster_fit_chunked_matches_single_chunk(rng, monkeypatch):
+    """The lax.map chunking that bounds cluster-fit memory at large N must
+    preserve per-block results. Bitwise candidate equality does NOT hold:
+    fusing the score pipeline inside lax.map changes f32 summation order,
+    which flips top-k picks between near-tied partitions (measured 6/3000
+    blocks, <=1.3% relative error change — either pick is a legitimate
+    near-optimum). An indexing/padding bug, by contrast, scrambles whole
+    chunks; so assert the per-block best exactly-scored candidate error is
+    identical for >=99% of blocks and within 5% everywhere."""
+    import jax.numpy as jnp
+    from texcomp.codecs import dxt_hq
+
+    n = 3000  # not a chunk multiple: exercises the padded tail
+    rgb_f = jnp.asarray(rng.integers(0, 256, (n, 16, 3)), jnp.float32)
+
+    def best_err(cands):
+        best = None
+        for c0, c1 in cands:
+            _, err = dxt_hq._assign_codes(rgb_f, c0, c1)
+            best = err if best is None else jnp.minimum(best, err)
+        return np.asarray(best, np.float64)
+
+    es = best_err(dxt_hq._cluster_fit_candidates(rgb_f))
+    monkeypatch.setattr(dxt_hq, "_CLUSTER_CHUNK", 1024)  # force 3 chunks
+    ec = best_err(dxt_hq._cluster_fit_candidates(rgb_f))
+
+    diff = np.abs(es - ec)
+    assert np.mean(diff == 0) >= 0.99, f"{(diff > 0).sum()} blocks differ"
+    rel = diff / np.maximum(np.minimum(es, ec), 1.0)
+    assert np.max(rel) < 0.05, f"max relative error diff {rel.max()}"

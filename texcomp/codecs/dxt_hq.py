@@ -118,10 +118,10 @@ def _pca_project(rgb_f):
     return mean, v, t
 
 
-def _pca_endpoints(rgb_f):
+def _pca_endpoints(rgb_f, proj=None):
     """Initial endpoints: the extreme projections along the principal
-    axis."""
-    mean, v, t = _pca_project(rgb_f)
+    axis. ``proj`` reuses a precomputed _pca_project result."""
+    mean, v, t = _pca_project(rgb_f) if proj is None else proj
     tmin = jnp.min(t, axis=1, keepdims=True)
     tmax = jnp.max(t, axis=1, keepdims=True)
     e0 = mean[:, 0, :] + tmin * v  # (N, 3)
@@ -198,63 +198,102 @@ def _cluster_tables():
 _CLUSTER_TOPK = 4
 
 
-def _cluster_fit_candidates(rgb_f, topk: int = _CLUSTER_TOPK):
-    """Top-k cluster-fit endpoint candidates as packed-565 (c0, c1) pairs.
+# Blocks per cluster-fit chunk: bounds the live (chunk, P) f32 planes to
+# ~250 MB regardless of image size (a whole-image 8192² HQ encode would
+# otherwise materialize a 16 GB score plane).
+_CLUSTER_CHUNK = 1 << 16
+# All dots below need true f32: the TPU default matmul precision is one
+# bf16 pass, which rounds prefix sums (ints up to 4080 need 12 mantissa
+# bits) and the irrational alpha/beta/delta — HIGHEST restores f32-exact
+# products for these magnitudes at negligible cost on these small dots.
+_F32 = jax.lax.Precision.HIGHEST
 
-    Squish-style joint solve: see _cluster_tables. The iterated-LS search
-    in _hq_color_words only refines a fixed assignment; this enumerates
-    assignments, which is where the remaining ~0.2 dB lives (measured on
-    the QUALITY.md photo set)."""
+
+def _cluster_fit_chunk(rgb_f, t, topk):
+    """Cluster-fit topk candidates for one chunk: ((topk, C), (topk, C))
+    packed-565 endpoint arrays."""
     n = rgb_f.shape[0]
-    _, _, t = _pca_project(rgb_f)
     # Descending projection order: cluster 0 is the w0 = 1 end.
-    order = jnp.argsort(-t, axis=1)  # (N, 16)
+    order = jnp.argsort(-t, axis=1)  # (C, 16)
     sp = jnp.take_along_axis(rgb_f, order[:, :, None], axis=1)
     p = jnp.concatenate(
         [jnp.zeros((n, 1, 3), jnp.float32), jnp.cumsum(sp, axis=1)], axis=1
-    )  # (N, 17, 3) prefix sums
+    )  # (C, 17, 3) prefix sums
     # Stage barriers: p feeds the score loop AND every pick; without them
     # XLA re-materializes the sort/cumsum (and the score) per consumer
     # (measured 5x: ~1.5 s vs ~0.3 s at N=16384 on CPU).
     p = jax.lax.optimization_barrier(p)
-    pt = p[:, 16, :]  # (N, 3)
-    # Score per channel so only (N, P) planes exist — never an (N, P, 3)
+    pt = p[:, 16, :]  # (C, 3)
+    # Score per channel so only (C, P) planes exist — never a (C, P, 3)
     # tensor (XLA recomputed it per consumer when fully fused: 3.8 s ->
     # ~0.2 s at N=16384 on CPU).
     sel = jnp.asarray(_CF_SEL)  # (17, P)
     score = jnp.zeros((n, _CF_SEL.shape[1]), jnp.float32)
     quu, qut = jnp.asarray(_CF_QUU), jnp.asarray(_CF_QUT)
     for c in range(3):
-        uc = p[:, :, c] @ sel  # (N, P) exact (ints < 2^24 in f32)
+        uc = jnp.matmul(p[:, :, c], sel, precision=_F32)  # (C, P)
         score = score + (quu[None, :] * uc + qut[None, :] * pt[:, c, None]) * uc
     score = score + jnp.asarray(_CF_QTT)[None, :] * jnp.sum(pt * pt, -1)[:, None]
     score = jax.lax.optimization_barrier(score)
-    _, idx = jax.lax.top_k(score, topk)  # (N, topk)
+    _, idx = jax.lax.top_k(score, topk)  # (C, topk)
     idx = jax.lax.optimization_barrier(idx)
 
     # Per-pick selection: one one-hot f32 matmul against the small
-    # (P, 20) pick table (exact; avoids both the ~10 ns/element gather tax
-    # and any (N, P)-sized recompute — see CLAUDE.md playbook), then the
+    # (P, 20) pick table (avoids both the ~10 ns/element gather tax and
+    # any (C, P)-sized recompute — see CLAUDE.md playbook), then the
     # 17-long sel row contracts the per-block prefix sums to u.
     npart = _CF_SEL.shape[1]
     pick_tab = jnp.asarray(_CF_PICK)  # (P, 20)
-    out = []
+    c0s, c1s = [], []
     for k in range(topk):
         onehot = (
             idx[:, k, None] == jax.lax.broadcasted_iota(jnp.int32, (1, npart), 1)
-        ).astype(jnp.float32)  # (N, P)
-        picked = onehot @ pick_tab  # (N, 20)
+        ).astype(jnp.float32)  # (C, P)
+        picked = jnp.matmul(onehot, pick_tab, precision=_F32)  # (C, 20)
         w = picked[:, :17]  # per-block sel row (counts 0..3)
-        uk = jnp.einsum("ni,nic->nc", w, p)  # (N, 3)
+        uk = jnp.einsum("ni,nic->nc", w, p, precision=_F32)  # (C, 3)
         al, be, de = picked[:, 17:18], picked[:, 18:19], picked[:, 19:20]
         b0 = uk / 3.0
         b1 = pt - b0
         e0 = jnp.clip(al * b0 + be * b1, 0.0, 255.0)
         e1 = jnp.clip(be * b0 + de * b1, 0.0, 255.0)
-        out.append(_quantize_endpoints(
+        c0, c1 = _quantize_endpoints(
             [e0[:, c] for c in range(3)], [e1[:, c] for c in range(3)]
-        ))
-    return out
+        )
+        c0s.append(c0)
+        c1s.append(c1)
+    return jnp.stack(c0s), jnp.stack(c1s)
+
+
+def _cluster_fit_candidates(rgb_f, t=None, topk: int = _CLUSTER_TOPK):
+    """Top-k cluster-fit endpoint candidates as packed-565 (c0, c1) pairs.
+
+    Squish-style joint solve: see _cluster_tables. The iterated-LS search
+    in _hq_color_words only refines a fixed assignment; this enumerates
+    assignments, which is where the remaining ~0.2 dB lives (measured on
+    the QUALITY.md photo set). ``t``: the _pca_project projections (pass
+    the caller's copy — recomputing risks a diverged sort axis).
+
+    Large inputs run as a lax.map over _CLUSTER_CHUNK-block chunks so
+    peak memory is image-size-independent."""
+    n = rgb_f.shape[0]
+    if t is None:
+        _, _, t = _pca_project(rgb_f)
+    if n <= _CLUSTER_CHUNK:
+        c0s, c1s = _cluster_fit_chunk(rgb_f, t, topk)
+    else:
+        pad = (-n) % _CLUSTER_CHUNK
+        nc = (n + pad) // _CLUSTER_CHUNK
+        rgb_p = jnp.pad(rgb_f, ((0, pad), (0, 0), (0, 0)))
+        t_p = jnp.pad(t, ((0, pad), (0, 0)))
+        c0s, c1s = jax.lax.map(
+            lambda a: _cluster_fit_chunk(a[0], a[1], topk),
+            (rgb_p.reshape(nc, _CLUSTER_CHUNK, 16, 3),
+             t_p.reshape(nc, _CLUSTER_CHUNK, 16)),
+        )  # (nc, topk, chunk)
+        c0s = jnp.moveaxis(c0s, 1, 0).reshape(topk, -1)[:, :n]
+        c1s = jnp.moveaxis(c1s, 1, 0).reshape(topk, -1)[:, :n]
+    return [(c0s[k], c1s[k]) for k in range(topk)]
 
 
 def _perturb_565(c, ch: int, d: int):
@@ -275,7 +314,8 @@ def _hq_color_words(rgb):
     rows) like dxt_ref._encode_dxt1_words, always using 4-color mode."""
     rgb_f = rgb.astype(jnp.float32)
 
-    e0, e1 = _pca_endpoints(rgb_f)
+    proj = _pca_project(rgb_f)  # shared by the seed AND the cluster sort
+    e0, e1 = _pca_endpoints(rgb_f, proj)
     c0, c1 = _quantize_endpoints(e0, e1)
     codes, best_err = _assign_codes(rgb_f, c0, c1)
     best = (c0, c1, codes)
@@ -314,7 +354,7 @@ def _hq_color_words(rgb):
     # assignment (A/B on the QUALITY.md photos: +0.18-0.19 dB over the
     # iterated-LS + probes incumbent; per-candidate probes add <0.01 dB
     # more and are omitted).
-    for c0_k, c1_k in _cluster_fit_candidates(rgb_f):
+    for c0_k, c1_k in _cluster_fit_candidates(rgb_f, proj[2]):
         codes_k, best, best_err = take(c0_k, c1_k, best, best_err)
         e0, e1 = _least_squares_endpoints(rgb_f, codes_k)
         _, best, best_err = take(*_quantize_endpoints(e0, e1),
