@@ -18,6 +18,7 @@ Works identically on a single chip (mesh of 1) and on a virtual CPU mesh
 
 from __future__ import annotations
 
+from collections import deque
 from dataclasses import dataclass
 from functools import partial
 from typing import Sequence
@@ -133,12 +134,19 @@ def _batch_encode(images: jax.Array, codec: str, strategy: int,
 class AssetPipeline:
     """Mesh-sharded batch encoder for mixed texture assets."""
 
-    def __init__(self, mesh: Mesh | None = None, batch_size: int = 64):
+    def __init__(self, mesh: Mesh | None = None, batch_size: int = 64,
+                 max_inflight: int = 4):
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()[:1]), axis_names=("data",))
         self.mesh = mesh
         self.ndev = int(np.prod(mesh.devices.shape))
         self.batch_size = max(batch_size, self.ndev)
+        # Async-dispatch window for run(): how many batches may be
+        # in flight (device input + output + host staging alive) before
+        # the oldest result is fetched. Bounds peak memory at
+        # O(max_inflight x batch) instead of O(fleet); >= 2 keeps the
+        # device busy while the host stacks the next batch.
+        self.max_inflight = max(2, max_inflight)
         self._jitted = {}
 
     def _sharded_encode(self, codec: str, strategy: int,
@@ -200,20 +208,18 @@ class AssetPipeline:
                    a.image.shape)
             groups.setdefault(key, []).append(i)
 
-        # Dispatch phase, then collect phase: every chunk is stacked and
-        # enqueued first (JAX async dispatch — the device encodes group k
-        # while the host stacks group k+1), and results are fetched after.
-        # Fleet wall time approaches max(compute, transfer, host packing)
-        # instead of their sequential sum.
+        # Windowed async dispatch: batch k+1..k+max_inflight are stacked
+        # and enqueued while batch k's result is fetched (JAX async
+        # dispatch overlaps device encode with host packing), so fleet
+        # wall time approaches max(compute, transfer, host packing) while
+        # peak memory stays O(window), not O(fleet) — an unbounded window
+        # holds every batch's device input/output and host staging alive
+        # at once (the 10k-asset fleet is ~5 GB of inputs alone).
         results: dict[str, CompressedImage] = {}
-        pending: list[tuple[list[int], str, jax.Array]] = []
-        for (codec, strategy, quality, shape), idxs in groups.items():
-            for start in range(0, len(idxs), self.batch_size):
-                chunk = idxs[start : start + self.batch_size]
-                batch = np.stack([assets[i].image for i in chunk])
-                pending.append((chunk, codec, self.encode_group_async(
-                    batch, codec, strategy, quality)))
-        for chunk, codec, out in pending:
+        pending: deque[tuple[list[int], str, jax.Array]] = deque()
+
+        def collect_one() -> None:
+            chunk, codec, out = pending.popleft()
             encoded = np.asarray(out)
             for j, i in enumerate(chunk):
                 a = assets[i]
@@ -231,6 +237,17 @@ class AssetPipeline:
                 ci.create_owned_data(md, payload.size)
                 ci.get_mutable_data()[:] = payload
                 results[a.name] = ci
+
+        for (codec, strategy, quality, shape), idxs in groups.items():
+            for start in range(0, len(idxs), self.batch_size):
+                chunk = idxs[start : start + self.batch_size]
+                batch = np.stack([assets[i].image for i in chunk])
+                pending.append((chunk, codec, self.encode_group_async(
+                    batch, codec, strategy, quality)))
+                if len(pending) >= self.max_inflight:
+                    collect_one()
+        while pending:
+            collect_one()
 
         if mipmaps:
             self._run_mipmaps(assets, results)

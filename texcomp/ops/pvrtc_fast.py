@@ -588,7 +588,9 @@ def _encode_rowmajor_words(image: jax.Array, pixel00,
         fwd = [(i, (i + 1) % n) for i in range(n)]  # receive from prev
         bwd = [(i, (i - 1) % n) for i in range(n)]  # receive from next
 
-    use_pallas = jax.default_backend() != "cpu"
+    from texcomp.ops import use_pallas as _use_pallas  # shared gate
+
+    use_pallas = _use_pallas()
     words32 = barrier(_to_block_words(image))
     if pixel00 is None:
         # Single-image case: the global pixel (0, 0) IS words32[0, 0]

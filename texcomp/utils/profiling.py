@@ -52,7 +52,9 @@ def time_op(op, arg, *, iters: int = 9, reps: int = 6) -> float:
         are xored through a u32[H, W] bitcast: a u8[H, W, 4] value inside
         the loop body gets layout T(8,128)(4,1) with the size-4 minor axis
         padded to 128 lanes — a 32x HBM blowup that OOMs at 8192^2."""
-        if x.dtype == jnp.uint8 and x.ndim == 3 and x.shape[-1] == 4:
+        if x.dtype == jnp.uint8 and x.ndim >= 3 and x.shape[-1] == 4:
+            # Any rank: batched (B, H, W, 4) fleet inputs hit the same
+            # 4 -> 128 lane padding as single images.
             w = jax.lax.bitcast_convert_type(x, jnp.uint32)
             w = w ^ (carry & jnp.uint32(0xFF)) * jnp.uint32(0x01010101)
             return jax.lax.bitcast_convert_type(w, jnp.uint8)
