@@ -658,10 +658,10 @@ def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
             return _finish_flip(rgb, flip, SMALLER_ERROR,
                                 q1_555, q2_555, q1_444, q2_444)
 
-        def neighborhood(q, spaces):
+        def neighborhood_qs(q, spaces):
             """±1 probes per (subblock, channel) of the quantized bases
             q = (q1_555, q2_555, q1_444, q2_444), in the given spaces
-            ("555" and/or "444"); one candidate per probe."""
+            ("555" and/or "444"); one base tuple per probe."""
             out = []
             for sb in (0, 1):
                 for ch in range(3):
@@ -670,16 +670,52 @@ def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
                             p1, p2 = list(q[0]), list(q[1])
                             (p1 if sb == 0 else p2)[ch] = jnp.clip(
                                 (p1 if sb == 0 else p2)[ch] + d, 0, 31)
-                            out.append(finish(p1, p2, q[2], q[3]))
+                            out.append((p1, p2, q[2], q[3]))
                         if "444" in spaces:
                             f1, f2 = list(q[2]), list(q[3])
                             (f1 if sb == 0 else f2)[ch] = jnp.clip(
                                 (f1 if sb == 0 else f2)[ch] + d, 0, 15)
-                            out.append(finish(q[0], q[1], f1, f2))
+                            out.append((q[0], q[1], f1, f2))
             return out
 
-        candidates = [finish(q1t[0], q2t[0], q1t[1], q2t[1]),
-                      finish(q1r[0], q2r[0], q1r[1], q2r[1])]
+        def scan_best(qs, incumbent, flip=flip):
+            """Strict-less best-of over candidate base tuples via ONE
+            lax.scan — one _finish_flip instance in the compiled graph
+            instead of len(qs). Candidate ORDER is the scan order, so
+            first-occurrence tie-breaking matches the unrolled loop this
+            replaces (the unrolled form compiled ~66 _finish_flip copies
+            per flip: 88 s XLA compile at N=256 on CPU)."""
+            stacked = jnp.stack(
+                [jnp.stack([*q[0], *q[1], *q[2], *q[3]]) for q in qs]
+            )  # (K, 12, N) int32
+
+            def body(carry, qrow):
+                cand = _finish_flip(
+                    rgb, flip, SMALLER_ERROR,
+                    [qrow[0], qrow[1], qrow[2]],
+                    [qrow[3], qrow[4], qrow[5]],
+                    [qrow[6], qrow[7], qrow[8]],
+                    [qrow[9], qrow[10], qrow[11]],
+                )
+                hi, lo, err = carry
+                h2, l2, e2 = cand
+                better = e2 < err
+                return (jnp.where(better, h2, hi),
+                        jnp.where(better, l2, lo),
+                        jnp.where(better, e2, err)), None
+
+            if incumbent is None:
+                n = rgb.shape[0]
+                # Max block error is 16*3*255^2 < 2^24, so this sentinel
+                # guarantees the first candidate's strict-less win.
+                incumbent = (jnp.zeros(n, _U32), jnp.zeros(n, _U32),
+                             jnp.full(n, jnp.iinfo(jnp.int32).max,
+                                      jnp.int32))
+            out, _ = jax.lax.scan(body, incumbent, stacked)
+            return out
+
+        qs = [(q1t[0], q2t[0], q1t[1], q2t[1]),
+              (q1r[0], q2r[0], q1r[1], q2r[1])]
 
         # Clamped-delta candidates: when a channel delta falls outside
         # differential mode's [-4, 3], the reference drops to 444+444
@@ -689,11 +725,11 @@ def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
         # families above).
         q2c = [jnp.clip(b, a - 4, a + 3) for a, b in zip(q1r[0], q2r[0])]
         q1c = [jnp.clip(a, b - 3, b + 4) for a, b in zip(q1r[0], q2r[0])]
-        candidates.append(finish(q1r[0], q2c, q1r[1], q2r[1]))
-        candidates.append(finish(q1c, q2r[0], q1r[1], q2r[1]))
+        qs.append((q1r[0], q2c, q1r[1], q2r[1]))
+        qs.append((q1c, q2r[0], q1r[1], q2r[1]))
 
-        candidates += neighborhood(
-            (q1r[0], q2r[0], q1r[1], q2r[1]), ("555", "444"))
+        qs += neighborhood_qs((q1r[0], q2r[0], q1r[1], q2r[1]),
+                              ("555", "444"))
 
         # 5. Joint-assignment (cluster-fit) candidates: per-codeword
         #    alternating reassign + LS refit from two seeds (subblock mean,
@@ -702,10 +738,8 @@ def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
         # Clamp-aware alternating refinement additionally seeded from the
         # enum winner's real-valued bases (the enum score ignores the
         # [0, 255] clamp; the alternation's exact assignment restores it).
-        candidates += [finish(*q) for q in
-                       _cluster_fit_bases(rgb, flip,
-                                          extra_seeds=real_enum[:1])]
-        candidates += [finish(*q) for q in q_enum]
+        qs += _cluster_fit_bases(rgb, flip, extra_seeds=real_enum[:1])
+        qs += q_enum
         # Clamped-delta variants of the enum winner (same 555-preserving
         # move as family 2's, centered on the joint optimum). A ±1
         # neighborhood around the enum winner was tried and rejected:
@@ -713,20 +747,16 @@ def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
         eq1, eq2 = q_enum[0][0], q_enum[0][1]
         e2c = [jnp.clip(b, a - 4, a + 3) for a, b in zip(eq1, eq2)]
         e1c = [jnp.clip(a, b - 3, b + 4) for a, b in zip(eq1, eq2)]
-        candidates.append(finish(eq1, e2c, q_enum[0][2], q_enum[0][3]))
-        candidates.append(finish(e1c, eq2, q_enum[0][2], q_enum[0][3]))
+        qs.append((eq1, e2c, q_enum[0][2], q_enum[0][3]))
+        qs.append((e1c, eq2, q_enum[0][2], q_enum[0][3]))
 
-        hi, lo, err = candidates[0]
-        for h2, l2, e2 in candidates[1:]:
-            better = e2 < err
-            hi = jnp.where(better, h2, hi)
-            lo = jnp.where(better, l2, lo)
-            err = jnp.where(better, e2, err)
+        hi, lo, err = scan_best(qs, None)
 
         # Alternating refit: LS bases from the incumbent's modifiers, then
         # a fresh exhaustive search. The refit output (not the incumbent)
         # seeds the next round so the second iteration explores the new
         # assignment; the keep-best select protects against regressions.
+        # (Sequential dependence — stays unrolled: 2 copies.)
         cur_hi, cur_lo = hi, lo
         q = None
         for _ in range(2):
@@ -743,11 +773,8 @@ def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
         # joint best often sits one code point off — same reasoning as
         # family 3, but centered on the refit instead of the subblock
         # average). +0.08 dB on photos for 24 extra candidates per flip.
-        for h3, l3, e3 in neighborhood(q, ("555", "444")):
-            better = e3 < err
-            hi = jnp.where(better, h3, hi)
-            lo = jnp.where(better, l3, lo)
-            err = jnp.where(better, e3, err)
+        hi, lo, err = scan_best(neighborhood_qs(q, ("555", "444")),
+                                (hi, lo, err))
 
         if best is None:
             best = (hi, lo, err)
