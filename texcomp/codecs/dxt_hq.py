@@ -597,27 +597,32 @@ def _hq_alpha(a, ref_a0, ref_a1, ref_codes_err):
         s_hi = jnp.clip(jnp.round(c + r * s), 0, 255).astype(jnp.int32)
         st = polish(s_hi, s_lo, st, interp=True)
 
-    # (c) ±3 joint neighborhood of the best endpoints so far. The LS
+    # (c) ±3 joint neighborhood of the best endpoints so far, TWICE —
+    # the second pass re-centers on the first pass's winner, following
+    # drift beyond the radius (measured +0.04 dB over one pass for the
+    # same per-pass cost; an r=5 ring was worse per assign). The LS
     # optimum rounds each endpoint independently; the best joint pair
     # often sits a few steps off. lax.scan over the 48 offsets: one
-    # compiled body instead of a 48x-unrolled select chain.
-    ca0, ca1 = st[0], st[1]
+    # compiled body per pass instead of a 48x-unrolled select chain.
     offs = np.array([(d0, d1)
                      for d0 in range(-3, 4)
                      for d1 in range(-3, 4)
                      if (d0, d1) != (0, 0)], np.int32)
 
-    def grid_step(carry, d):
-        b0, b1, bc, be = carry
-        a0 = jnp.clip(ca0 + d[0], 0, 255)
-        a1 = jnp.clip(ca1 + d[1], 0, 255)
-        codes, err = _alpha_assign(a, a0, a1)
-        better = err < be
-        return (jnp.where(better, a0, b0), jnp.where(better, a1, b1),
-                jnp.where(better[:, None], codes, bc),
-                jnp.minimum(err, be)), None
+    for _ in range(2):
+        ca0, ca1 = st[0], st[1]
 
-    st, _ = jax.lax.scan(grid_step, st, jnp.asarray(offs))
+        def grid_step(carry, d, ca0=ca0, ca1=ca1):
+            b0, b1, bc, be = carry
+            a0 = jnp.clip(ca0 + d[0], 0, 255)
+            a1 = jnp.clip(ca1 + d[1], 0, 255)
+            codes, err = _alpha_assign(a, a0, a1)
+            better = err < be
+            return (jnp.where(better, a0, b0), jnp.where(better, a1, b1),
+                    jnp.where(better[:, None], codes, bc),
+                    jnp.minimum(err, be)), None
+
+        st, _ = jax.lax.scan(grid_step, st, jnp.asarray(offs))
     return st[0], st[1], st[2]
 
 

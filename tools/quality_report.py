@@ -239,7 +239,8 @@ def main() -> int:
         "photos have none). HQ refits both alpha ramp schemes by least",
         "squares from extreme, interior-extreme (explicit scheme) and",
         "shrunk-spread (interp scheme) seeds, then searches a ±3 joint",
-        "endpoint neighborhood; per-block never-worse vs the reference's",
+        "endpoint neighborhood twice with re-centering; per-block",
+        "never-worse vs the reference's",
         "extreme-based endpoints.",
         "",
         "## PVRTC 2BPP (square power-of-two crops)",
