@@ -125,20 +125,22 @@ def bench_pvrtc4_encode(h: int = 2048, w: int = 2048) -> float:
     return (h * w) / dt / 1e6
 
 
-def bench_etc1_mipmap_chain(size: int = 2048) -> float:
+def bench_etc1_mipmap_chain(size: int = 2048,
+                            interpret: bool = False) -> float:
     """Full ETC1 mipmap chain (fused per-level downsample+encode kernels),
     same accounting as bench_mipmap_chain."""
     from texcomp.ops import etc_pallas
     from texcomp.ops.mipmap import mipmap_chain, num_chain_levels
 
     img = _rand_image(size, size, 3)
-    data = jax.block_until_ready(etc_pallas.etc1_encode_image(img))
+    data = jax.block_until_ready(
+        etc_pallas.etc1_encode_image(img, interpret=interpret))
     levels = num_chain_levels(size, size)
     src_pixels = sum((size // (2 ** k)) ** 2 for k in range(levels))
 
     def op(d):
         outs = mipmap_chain(d, height=size, width=size, codec="etc1",
-                            levels=levels)
+                            levels=levels, interpret=interpret)
         return jnp.concatenate([o.reshape(1, -1).astype(jnp.uint32).sum(
             axis=1, keepdims=True) for o in outs], axis=1)
 
@@ -157,7 +159,7 @@ def bench_pvrtc_hq_encode(h: int = 1024, w: int = 1024) -> float:
     return (h * w) / dt / 1e6
 
 
-def bench_mipmap_chain(size: int = 2048) -> float:
+def bench_mipmap_chain(size: int = 2048, interpret: bool = False) -> float:
     """Full DXT5 mipmap chain from a size^2 level-0 payload — BASELINE
     config 2's workload — as ONE fused device program. Throughput counts
     the pixels decoded across all levels."""
@@ -171,7 +173,7 @@ def bench_mipmap_chain(size: int = 2048) -> float:
 
     def op(d):
         outs = dxtc_mipmap_chain(d, height=size, width=size, is_dxt1=False,
-                                 levels=levels)
+                                 levels=levels, interpret=interpret)
         return jnp.concatenate([o.reshape(1, -1).astype(jnp.uint32).sum(
             axis=1, keepdims=True) for o in outs], axis=1)
 
@@ -179,7 +181,8 @@ def bench_mipmap_chain(size: int = 2048) -> float:
     return src_pixels / dt / 1e6
 
 
-def bench_transcode(h: int = 4096, w: int = 4096) -> float:
+def bench_transcode(h: int = 4096, w: int = 4096,
+                    interpret: bool = False) -> float:
     """DXT1 -> ETC1 in-place transcode (fused device decode -> heuristic
     re-encode, dxtc_to_etc_transcoder.cc:29-40)."""
     from texcomp.ops import dxt_pallas, etc_pallas
@@ -191,7 +194,8 @@ def bench_transcode(h: int = 4096, w: int = 4096) -> float:
     def op(d):
         words = dxt_pallas.blocks_to_words(d, 2)
         return etc_pallas.etc1_words_to_blocks(
-            etc_pallas.transcode_dxt1_to_etc1_packed(words))
+            etc_pallas.transcode_dxt1_to_etc1_packed(words,
+                                                     interpret=interpret))
 
     dt = _time_op(op, data)
     return (h * w) / dt / 1e6
