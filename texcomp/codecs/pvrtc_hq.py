@@ -78,6 +78,23 @@ def _t_of(mod):
     return t
 
 
+def _shrunk_seed(lo, hi, s: float = 0.5):
+    """ALS seed: block mean ± s·(spread/2) instead of the raw extremes.
+
+    The extremes seed commits the first modulation assignment to a ramp
+    twice as wide as the final optimum wants (same inward pull as any
+    K-level quantizer), and the anchored CG refit then stays in that
+    basin. Halving the seed spread measured +0.47-0.60 dB on each of the
+    QUALITY.md photos at identical cost; random-restart probing showed
+    +0.24 dB of seed-dependence on the hardest photo, which this seed
+    more than captures (docs/PERF.md)."""
+    lo_f = lo.astype(jnp.float32)
+    hi_f = hi.astype(jnp.float32)
+    mean = (lo_f + hi_f) * 0.5
+    half = (hi_f - lo_f) * 0.5
+    return (mean - s * half, mean + s * half)
+
+
 def _make_upscale_f(h: int, w: int, block_h: int, block_w: int):
     """Float bilinear wrap upscale — the continuous-relaxation counterpart
     of pvrtc._interpolate_upscaled (same separable passes, true division).
@@ -263,7 +280,7 @@ def _encode_hq(image: jax.Array) -> jax.Array:
     img_f = image.astype(jnp.float32)
 
     lo, hi = pv._morph_extremes(img_i)
-    ab = (lo.astype(jnp.float32), hi.astype(jnp.float32))
+    ab = _shrunk_seed(lo, hi)
     upscale_f = _make_upscale_f(h, w, pv.BLOCK_H, pv.BLOCK_W)
     solve = lambda im, t, ab: _solve_ab(im, t, ab, upscale_f)
 
@@ -333,6 +350,9 @@ def _encode_hq4(image: jax.Array) -> jax.Array:
     img_f = image.astype(jnp.float32)
 
     lo, hi = pv._morph_extremes(img_i, block_h=4, block_w=4)
+    # 4bpp keeps the raw-extremes seed: the 2bpp shrink (s=0.5) measured
+    # -0.25 dB on flower here and <=+0.01 elsewhere — with 4x the texel
+    # density the extremes ramp is already near the optimum's width.
     ab = (lo.astype(jnp.float32), hi.astype(jnp.float32))
     upscale_f = _make_upscale_f(h, w, 4, 4)
     solve = lambda im, t, ab: _solve_ab(im, t, ab, upscale_f)
