@@ -186,6 +186,29 @@ def main() -> int:
                          psnr(dec4_hq, crop[..., :3])))
         print(pv4_rows[-1])
 
+    # DXT1 -> ETC1 transcode: heuristic (reference) vs HQ re-encode.
+    tc_rows = []
+    for name, img in sorted(images.items()):
+        import jax.numpy as jnp
+
+        from texcomp.api import transcode as tc
+        from texcomp.codecs import dxt as dxtc
+        from texcomp.codecs import etc as etcc
+
+        h, w = (img.shape[0] // 4) * 4, (img.shape[1] // 4) * 4
+        crop = img[:h, :w, :3]
+        b = crop.reshape(h // 4, 4, w // 4, 4, 3).transpose(0, 2, 1, 3, 4)
+        rgb = jnp.asarray(b.reshape(-1, 16, 3), jnp.int32)
+        d1 = dxtc.encode_dxt1_blocks(rgb)
+        dec = lambda e: np.asarray(etcc.decode_etc1_blocks(e), np.float64)
+        ref_tc = dec(tc.transcode_dxt1_to_etc1_blocks(d1))
+        hq_tc = dec(tc.transcode_dxt1_to_etc1_blocks_hq(d1))
+        src = np.asarray(rgb, np.float64)
+        p = lambda d: 10 * np.log10(
+            255.0**2 / max(np.mean((d - src) ** 2), 1e-12))
+        tc_rows.append((f"{name} ({h}x{w})", p(ref_tc), p(hq_tc)))
+        print(tc_rows[-1])
+
     lines = [
         "# QUALITY — natural-image PSNR report",
         "",
@@ -259,7 +282,20 @@ def main() -> int:
         "| image | default | HQ | gain |",
         "|---|---|---|---|",
     ] + [f"| {n} | {p:.2f} | {q:.2f} | **+{q - p:.2f}** |"
-         for n, p, q in pv4_rows] + [""]
+         for n, p, q in pv4_rows] + [
+        "",
+        "## DXT1 -> ETC1 transcode (vs the original photo)",
+        "",
+        "| image | heuristic (reference) | HQ re-encode | gain |",
+        "|---|---|---|---|",
+    ] + [f"| {n} | {p:.2f} | {q:.2f} | **+{q - p:.2f}** |"
+         for n, p, q in tc_rows] + [
+        "",
+        "transcode_dxt1_to_etc1(..., quality=\"high\") re-encodes the",
+        "decoded DXT1 pixels with the full HQ ETC1 search instead of the",
+        "reference's heuristic; never-worse per block vs the heuristic",
+        "(tests/test_etc.py::test_transcode_hq_never_worse).",
+        ""]
 
     Path(args.out).write_text("\n".join(lines))
     print(f"wrote {args.out}; parity checks={parity_checks} "
