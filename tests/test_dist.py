@@ -437,3 +437,29 @@ def test_pvrtc4_atlas_sharded_one_row_per_shard(rng):
     m8 = Mesh(np.array(jax.devices()[:8]), ("data",))
     out = np.asarray(pvrtc4_encode_atlas_sharded(img, m8))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_pipeline_inflight_window_invariance(rng):
+    """run()'s bounded async-dispatch window must not change results: the
+    tightest window (2), a mid window, and one larger than the whole
+    fleet produce byte-identical payloads in the same result keys."""
+    from jax.sharding import Mesh
+
+    _need_devices(4)
+    assets = []
+    for i, (codec, size) in enumerate(
+            [("dxt1", 16), ("dxt5", 16), ("etc1", 16), ("dxt1", 32),
+             ("pvrtc", 16)] * 4):
+        c = 4 if codec in ("dxt5", "pvrtc") else 3
+        assets.append(TextureAsset(f"w{i}_{codec}_{size}",
+                                   make_test_image(rng, size, size, c),
+                                   codec))
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    outs = []
+    for window in (2, 3, 99):
+        res = AssetPipeline(mesh, batch_size=4,
+                            max_inflight=window).run(assets)
+        assert set(res) == {a.name for a in assets}
+        outs.append({k: bytes(v.get_data()) for k, v in res.items()})
+    assert outs[0] == outs[1] == outs[2]
