@@ -327,6 +327,25 @@ def main() -> int:
                              "the O(10k) fleet (slow through the tunnel)")
     args = parser.parse_args()
 
+    # Fail FAST with a parseable line when the tunneled backend is dead:
+    # jax.devices() otherwise hangs in PJRT init until the driver's
+    # timeout, recording nothing. 300 s covers a slow-but-alive tunnel
+    # (normal init is seconds; first compile happens later).
+    import threading
+
+    devs: list = []
+    t = threading.Thread(target=lambda: devs.extend(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout=300)
+    if not devs:
+        print(json.dumps({
+            "metric": "dxt1_encode_throughput",
+            "error": "backend init timed out after 300s "
+                     "(axon tunnel unreachable)",
+        }))
+        return 1
+
     if args.fleet_e2e:
         v = bench_pipeline_fleet_e2e()
         print(json.dumps({"metric": "pipeline_fleet_e2e_throughput",
