@@ -203,8 +203,6 @@ class EtcCompressor(Compressor):
         strategy = self._strategy
 
         def fn(data, grid_height, grid_width):
-            import jax.numpy as jnp
-
             d = jnp.asarray(np.ascontiguousarray(data))
             return mipmap_chain(d, height=grid_height, width=grid_width,
                                 codec="etc1", strategy=strategy,

@@ -460,7 +460,13 @@ def _cluster_fit_bases(rgb: jax.Array, flip: bool, iters: int = 2,
                               0.0, 255.0)
             _, e = assign(b1, b2, mods)
             if best is None:
-                best, second = (e, b1, b2), (e, b1, b2)
+                # second's error starts at +inf, NOT codeword 0's: with a
+                # copy-init, any block whose first codeword stays the
+                # winner would keep second == best forever (the `mid`
+                # test can never beat it) and the runner-up candidate
+                # would duplicate the winner.
+                best = (e, b1, b2)
+                second = (jnp.full_like(e, jnp.inf), b1, b2)
             else:
                 def sel(cond, x, y):
                     return jnp.where(

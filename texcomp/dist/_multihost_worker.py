@@ -30,6 +30,52 @@ def demo_fleet(seed: int = 7):
     return assets
 
 
+def launch_two_process_demo(out_paths, repo: str,
+                            timeout: float = 600.0):
+    """Spawn the 2-process jax.distributed demo (this module as the
+    worker entry) on a free localhost port and return the two loaded
+    shard dicts. The single launch harness for both the pytest parity
+    test and the driver dryrun; always kills stragglers on the way out
+    (a worker stuck on a distributed barrier otherwise outlives a
+    communicate() timeout)."""
+    import os
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # fresh procs must not re-tunnel
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [env.get("PYTHONPATH", ""), repo] if p)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "texcomp.dist._multihost_worker",
+             str(p), "2", str(port), str(out_paths[p])],
+            env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for p in range(2)
+    ]
+    try:
+        logs = [p.communicate(timeout=timeout)[0].decode() for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for p, log in zip(procs, logs):
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"multihost worker failed (rc={p.returncode}):\n"
+                f"{log[-2000:]}")
+    return [dict(np.load(o)) for o in out_paths]
+
+
 def main() -> None:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     outfile = sys.argv[4]

@@ -34,6 +34,12 @@ from texcomp.core.constants import ETC1_CODEBOOK, ETC1_HEURISTIC_THRESHOLDS
 
 LANE_TILE = 1024  # blocks per grid step (search is ~4x heavier than DXT)
 
+
+def _tile_for(n: int) -> int:
+    """Lane-grid tile for n blocks under THIS module's LANE_TILE (the
+    ETC search budget differs from dxt_pallas._tile_for's cap)."""
+    return min(LANE_TILE, max(128, 1 << (n - 1).bit_length()))
+
 SPLIT_HORIZONTALLY = 0
 SPLIT_VERTICALLY = 1
 SMALLER_ERROR = 2
@@ -401,7 +407,7 @@ def encode_etc1_words(words: jax.Array, strategy: int = SMALLER_ERROR,
     """(16, N) uint32 packed RGB pixels -> (2, N) uint32 little-endian ETC1
     block words (byte 0 of the block = low byte of word 0)."""
     n = words.shape[1]
-    tile = min(LANE_TILE, max(128, 1 << (n - 1).bit_length()))
+    tile = _tile_for(n)
     words = _pad_lanes(words, tile)
     np_ = words.shape[1]
     # Row-permuted copy grouping the flip=False subblocks (see _PERM_F);
@@ -516,7 +522,7 @@ def etc1_downsample_encode_words(words: jax.Array, *, nby: int, nbx: int,
     grouped = (words.reshape(2, nby // 2, 2, nbx // 2, 2)
                .transpose(2, 4, 0, 1, 3).reshape(8, -1))
     n = grouped.shape[1]
-    tile = min(LANE_TILE, max(128, 1 << (n - 1).bit_length()))
+    tile = _tile_for(n)
     grouped = _pad_lanes(grouped, tile)
     np_ = grouped.shape[1]
     out = pl.pallas_call(
