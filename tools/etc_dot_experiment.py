@@ -17,10 +17,12 @@ than the shipped clamp-per-candidate form by static count. Unlike the
 loop entirely (no per-pixel correction).
 
 Status: byte-parity PROVEN on all 4 strategies in interpret mode
-(including clamp-heavy bright/dark content); throughput on real TPU
-hardware UNMEASURED (this repo's history says static op counts lie:
-sublane broadcasts/slices may cost more than they save). Ship into
-ops/etc_pallas ONLY after a TPU A/B wins.
+(including clamp-heavy bright/dark content); TPU A/B MEASURED AND
+REJECTED (v5e, 2026-08-18): 5722 -> 5803 Mpix/s at 2048^2 and
+3774 -> 3812 at 4096^2 (+1.0-1.4%, within tunnel noise) — the sublane
+broadcasts and the codeword-sublane lex argmin eat the static op-count
+saving, as this repo's history predicted. Kept as the parity-proven
+harness; see docs/PERF.md "ETC1 encode (kSmallerError)".
 
     python tools/etc_dot_experiment.py            # CPU parity gate
     python tools/etc_dot_experiment.py --tpu-ab   # on TPU: A/B throughput
