@@ -90,6 +90,74 @@ def test_pipeline_mixed_assets_oracle_parity(rng, oracle):
         np.testing.assert_array_equal(got, ref, err_msg=a.name)
 
 
+def test_pipeline_mixed_formats_oracle_parity(rng, oracle):
+    """BGR/BGRA assets route through the fleet with byte parity vs the
+    per-asset reference calls, incl. the const-path double-swap quirk
+    (dxtc_compressor.cc:360) and mipmap metadata formats (VERDICT r3 #7)."""
+    from jax.sharding import Mesh
+
+    from texcomp.api.container import Format
+
+    _need_devices(8)
+    specs = [("dxt1", Format.RGB, 3), ("dxt1", Format.BGR, 3),
+             ("dxt5", Format.RGBA, 4), ("dxt5", Format.BGRA, 4),
+             ("etc1", Format.RGB, 3), ("pvrtc", Format.RGBA, 4)]
+    assets = []
+    for i, (codec, fmt, c) in enumerate(specs * 3):
+        # Solid every 3rd asset: the BGR double-swap quirk lives in the
+        # const-color path, which random content rarely hits at 16^2.
+        kind = "solid" if i % 3 == 2 else "mixed"
+        assets.append(TextureAsset(
+            name=f"tex{i}_{codec}_{fmt.name}",
+            image=make_test_image(rng, 16, 16, c, kind=kind),
+            codec=codec, format=fmt))
+
+    pipeline = AssetPipeline(Mesh(np.array(jax.devices()[:8]), ("data",)))
+    results = pipeline.run(assets, mipmaps=True)
+
+    name_of = {"dxt1": "dxtc", "dxt5": "dxtc", "etc1": "etc",
+               "pvrtc": "pvrtc"}
+    for a in assets:
+        h, w = a.image.shape[0], a.image.shape[1]
+        ref, _, _ = oracle.compress(name_of[a.codec], a.format, h, w,
+                                    0, a.image.tobytes(),
+                                    strategy=a.strategy)
+        got = results[a.name].get_data()
+        np.testing.assert_array_equal(got, ref, err_msg=a.name)
+        assert results[a.name].get_metadata().format == a.format
+        if a.codec != "pvrtc":
+            # Mip levels: bytes equal the reference's repeated Downsample
+            # (swap-free re-encode) and metadata keeps the source format.
+            cur, uh, uw, ch, cw = ref, h, w, h, w
+            lvl = 1
+            while f"{a.name}_mip{lvl}" in results:
+                refd = oracle.downsample(name_of[a.codec], a.format, uh, uw,
+                                         ch, cw, 0, cur,
+                                         strategy=a.strategy)
+                assert refd is not None, f"{a.name} mip{lvl}"
+                mip = results[f"{a.name}_mip{lvl}"]
+                np.testing.assert_array_equal(
+                    mip.get_data(), refd[0],
+                    err_msg=f"{a.name} mip{lvl}")
+                assert mip.get_metadata().format == a.format
+                cur, ch, cw = refd[0], refd[1], refd[2]
+                uh, uw = max(uh // 2, 1), max(uw // 2, 1)
+                lvl += 1
+
+
+def test_pipeline_rejects_invalid_format(rng):
+    """Format/codec mismatches fail loudly, mirroring supports_format."""
+    from texcomp.api.container import Format
+
+    p = AssetPipeline()
+    img = make_test_image(rng, 8, 8, 3)
+    with pytest.raises(ValueError, match="cannot encode"):
+        p.encode_group(np.stack([img]), "etc1", fmt=Format.BGR)
+    with pytest.raises(ValueError, match="cannot encode"):
+        p.encode_group(np.stack([make_test_image(rng, 8, 8, 4)]), "pvrtc",
+                       fmt=Format.BGRA)
+
+
 def test_quality_report_runs(rng):
     from jax.sharding import Mesh
 

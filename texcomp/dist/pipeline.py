@@ -28,12 +28,20 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from texcomp.api.container import CompressedImage, Format, Metadata
+from texcomp.api.container import (CompressedImage, Format, Metadata,
+                                   needs_red_and_blue_swapped)
 from texcomp.blocks import image_to_blocks, num_blocks
 
 _BLOCK_BYTES = {"dxt1": 8, "dxt5": 16, "etc1": 8, "pvrtc": 8, "pvrtc4": 8}
 _FORMATS = {"dxt1": Format.RGB, "dxt5": Format.RGBA, "etc1": Format.RGB,
             "pvrtc": Format.RGBA, "pvrtc4": Format.RGBA}
+# Formats each codec accepts, matching the per-codec supports_format rules
+# (DXTC all four, dxtc_compressor.cc:707-710; ETC RGB-only,
+# etc_compressor.cc:713-717; PVRTC RGBA-only, pvrtc_compressor.cc:611-613).
+_VALID_FORMATS = {"dxt1": (Format.RGB, Format.BGR),
+                  "dxt5": (Format.RGBA, Format.BGRA),
+                  "etc1": (Format.RGB,),
+                  "pvrtc": (Format.RGBA,), "pvrtc4": (Format.RGBA,)}
 _NAMES = {"dxt1": "dxtc", "dxt5": "dxtc", "etc1": "etc", "pvrtc": "pvrtc",
           "pvrtc4": "pvrtc4"}
 
@@ -41,16 +49,22 @@ _NAMES = {"dxt1": "dxtc", "dxt5": "dxtc", "etc1": "etc", "pvrtc": "pvrtc",
 @dataclass
 class TextureAsset:
     """One texture to encode. Image is (H, W, C) uint8 with H, W multiples
-    of 4 (PVRTC additionally requires square power-of-two)."""
+    of 4 (PVRTC additionally requires square power-of-two).
+
+    ``format`` defaults to the codec's canonical format (RGB/RGBA); pass
+    Format.BGR / Format.BGRA for swapped-channel sources — byte semantics
+    match the per-asset API calls (compressed_image.h:202-204)."""
 
     name: str
     image: np.ndarray
     codec: str  # dxt1 | dxt5 | etc1 | pvrtc | pvrtc4
     strategy: int = 2  # ETC1 only
     quality: str = "reference"  # "high" -> the HQ extension encoders
+    format: Format | None = None  # None -> _FORMATS[codec]
 
 
-def _batch_encode_hq(images: jax.Array, codec: str) -> jax.Array:
+def _batch_encode_hq(images: jax.Array, codec: str,
+                     swap: bool = False) -> jax.Array:
     """quality="high" fleet path: the HQ extension encoders, batched.
     Payloads stay standard; every encoder is never-worse vs reference."""
     from texcomp.codecs import dxt_hq, etc
@@ -64,24 +78,34 @@ def _batch_encode_hq(images: jax.Array, codec: str) -> jax.Array:
 
     n = (images.shape[1] // 4) * (images.shape[2] // 4)
     blocks = jax.vmap(image_to_blocks)(images)
+    if swap:  # blocks pre-swapped to RGB order, quirk flag threaded below
+        blocks = jnp.concatenate(
+            [blocks[..., 2::-1], blocks[..., 3:]], axis=-1)
     if codec == "dxt1":
-        return jax.vmap(dxt_hq.encode_dxt1_hq_blocks)(blocks)
+        return jax.vmap(lambda blk: dxt_hq.encode_dxt1_hq_blocks(
+            blk, swap_red_and_blue=swap))(blocks)
     if codec == "dxt5":
         outside = jnp.zeros((images.shape[0], n), dtype=bool)
-        return jax.vmap(dxt_hq.encode_dxt5_hq_blocks)(blocks, outside)
+        return jax.vmap(lambda blk, o: dxt_hq.encode_dxt5_hq_blocks(
+            blk, o, swap_red_and_blue=swap))(blocks, outside)
     return jax.vmap(etc.encode_etc1_hq_blocks)(blocks)
 
 
 def _batch_encode(images: jax.Array, codec: str, strategy: int,
-                  quality: str = "reference") -> jax.Array:
-    """(B, H, W, C) uint8 -> (B, num_blocks, block_bytes) uint8."""
+                  quality: str = "reference",
+                  swap: bool = False) -> jax.Array:
+    """(B, H, W, C) uint8 -> (B, num_blocks, block_bytes) uint8.
+
+    ``swap``: input channels are BGR/BGRA; bytes match the per-asset API
+    with the swapped format, including the const-path double-swap quirk
+    (dxtc_compressor.cc:360)."""
     from texcomp.ops import use_pallas
 
     b, h, w = images.shape[0], images.shape[1], images.shape[2]
     n = (h // 4) * (w // 4)
 
     if quality == "high":
-        return _batch_encode_hq(images, codec)
+        return _batch_encode_hq(images, codec, swap)
 
     if codec == "pvrtc":
         from texcomp.ops import pvrtc_encode_image_op
@@ -95,18 +119,23 @@ def _batch_encode(images: jax.Array, codec: str, strategy: int,
     if use_pallas():
         from texcomp.ops import dxt_pallas, etc_pallas
 
+        # Fold the batch into the image Y axis BEFORE packing: a
+        # (B*H, W, C) tall image's block grid is the concatenation of the
+        # per-image grids in batch order (H % 4 == 0), so ONE pack
+        # transpose + one kernel call replaces B small ones. vmap-of-B
+        # tiny packs was 2.8x slower and 10x slower to compile on the
+        # 64^2 x1024 fleet class (docs/PERF.md round 4).
+        tall = images.reshape(b * h, w, images.shape[3])
         if codec == "dxt5":
-            words = jax.vmap(dxt_pallas.pack_rgba_image)(images)
+            words = dxt_pallas.pack_rgba_image(tall, swap=swap)
         else:
-            words = jax.vmap(dxt_pallas.pack_rgb_image)(images)
-        # Fold the batch into lanes: one kernel call per group shard.
-        words = words.transpose(1, 0, 2).reshape(16, b * n)
+            words = dxt_pallas.pack_rgb_image(tall, swap=swap)
         if codec == "dxt1":
-            out = dxt_pallas.encode_dxt1_packed(words)  # (8, B*N)
+            out = dxt_pallas.encode_dxt1_packed(words, swap=swap)  # (8, B*N)
         elif codec == "dxt5":
             flag = jnp.zeros((1, b * n), dtype=jnp.uint32)
             out = dxt_pallas.encode_dxt5_packed(
-                jnp.concatenate([words, flag], axis=0))
+                jnp.concatenate([words, flag], axis=0), swap=swap)
         else:
             # ETC emits (2, B*N) uint32 LE words: transpose at 32 bit and
             # bitcast, instead of relaying out (8, B*N) uint8 (~100x).
@@ -121,12 +150,16 @@ def _batch_encode(images: jax.Array, codec: str, strategy: int,
     from texcomp.codecs import dxt, etc
 
     blocks = jax.vmap(image_to_blocks)(images)
+    if swap:
+        blocks = jnp.concatenate(
+            [blocks[..., 2::-1], blocks[..., 3:]], axis=-1)
     if codec == "dxt1":
-        return jax.vmap(lambda blk: dxt.encode_dxt1_blocks(blk))(blocks)
+        return jax.vmap(lambda blk: dxt.encode_dxt1_blocks(
+            blk, swap_red_and_blue=swap))(blocks)
     if codec == "dxt5":
         outside = jnp.zeros((n,), dtype=bool)
-        return jax.vmap(
-            lambda blk: dxt.encode_dxt5_blocks(blk, outside))(blocks)
+        return jax.vmap(lambda blk: dxt.encode_dxt5_blocks(
+            blk, outside, swap_red_and_blue=swap))(blocks)
     return jax.vmap(
         lambda blk: etc.encode_etc1_blocks(blk, strategy))(blocks)
 
@@ -150,14 +183,14 @@ class AssetPipeline:
         self._jitted = {}
 
     def _sharded_encode(self, codec: str, strategy: int,
-                        quality: str = "reference"):
-        key = (codec, strategy, quality)
+                        quality: str = "reference", swap: bool = False):
+        key = (codec, strategy, quality, swap)
         if key not in self._jitted:
             mesh = self.mesh
 
             def fn(images):
                 local = partial(_batch_encode, codec=codec, strategy=strategy,
-                                quality=quality)
+                                quality=quality, swap=swap)
                 # check_vma=False: pallas_call outputs carry no varying-mesh
                 # -axes metadata, which trips the default check on TPU.
                 return jax.shard_map(
@@ -170,27 +203,33 @@ class AssetPipeline:
 
     def encode_group_async(self, images: np.ndarray, codec: str,
                            strategy: int = 2,
-                           quality: str = "reference") -> jax.Array:
+                           quality: str = "reference",
+                           fmt: Format | None = None) -> jax.Array:
         """Dispatch one same-shape batch encode and return the DEVICE
         result (JAX async dispatch: returns immediately, letting the host
         pack the next group while the device works). The batch is padded
         to a multiple of the mesh size; slice [:B] after fetching."""
+        fmt = _FORMATS[codec] if fmt is None else fmt
+        if fmt not in _VALID_FORMATS[codec]:
+            raise ValueError(f"{codec} cannot encode {fmt!r}")
         b = images.shape[0]
         pad = (-b) % self.ndev
         if pad:
             images = np.concatenate([images, images[:1].repeat(pad, 0)], 0)
-        return self._sharded_encode(codec, strategy, quality)(
-            jnp.asarray(images))
+        return self._sharded_encode(
+            codec, strategy, quality,
+            swap=needs_red_and_blue_swapped(fmt))(jnp.asarray(images))
 
     def encode_group(self, images: np.ndarray, codec: str,
                      strategy: int = 2,
-                     quality: str = "reference") -> np.ndarray:
+                     quality: str = "reference",
+                     fmt: Format | None = None) -> np.ndarray:
         """Encode a same-shape batch: (B, H, W, C) -> (B, nblocks, bytes).
 
         The batch is padded to a multiple of the mesh size; each device
         encodes its shard with one fused kernel call.
         """
-        out = self.encode_group_async(images, codec, strategy, quality)
+        out = self.encode_group_async(images, codec, strategy, quality, fmt)
         return np.asarray(out)[: images.shape[0]]
 
     def run(self, assets: Sequence[TextureAsset],
@@ -204,8 +243,9 @@ class AssetPipeline:
         reference, pvrtc_compressor.cc:669-705)."""
         groups: dict[tuple, list[int]] = {}
         for i, a in enumerate(assets):
+            fmt = getattr(a, "format", None) or _FORMATS[a.codec]
             key = (a.codec, a.strategy, getattr(a, "quality", "reference"),
-                   a.image.shape)
+                   fmt, a.image.shape)
             groups.setdefault(key, []).append(i)
 
         # Windowed async dispatch: batch k+1..k+max_inflight are stacked
@@ -216,21 +256,20 @@ class AssetPipeline:
         # holds every batch's device input/output and host staging alive
         # at once (the 10k-asset fleet is ~5 GB of inputs alone).
         results: dict[str, CompressedImage] = {}
-        pending: deque[tuple[list[int], str, jax.Array]] = deque()
+        pending: deque[tuple[list[int], str, Format, jax.Array]] = deque()
 
         def collect_one() -> None:
-            chunk, codec, out = pending.popleft()
+            chunk, codec, fmt, out = pending.popleft()
             encoded = np.asarray(out)
             for j, i in enumerate(chunk):
                 a = assets[i]
                 h, w = a.image.shape[0], a.image.shape[1]
                 ci = CompressedImage()
                 if codec in ("pvrtc", "pvrtc4"):
-                    md = Metadata(_FORMATS[codec], _NAMES[codec],
-                                  h, w, h, w, 0)
+                    md = Metadata(fmt, _NAMES[codec], h, w, h, w, 0)
                 else:
                     md = Metadata(
-                        _FORMATS[codec], _NAMES[codec], h, w,
+                        fmt, _NAMES[codec], h, w,
                         4 * num_blocks(h), 4 * num_blocks(w), 0,
                     )
                 payload = encoded[j].reshape(-1)
@@ -238,12 +277,12 @@ class AssetPipeline:
                 ci.get_mutable_data()[:] = payload
                 results[a.name] = ci
 
-        for (codec, strategy, quality, shape), idxs in groups.items():
+        for (codec, strategy, quality, fmt, shape), idxs in groups.items():
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start : start + self.batch_size]
                 batch = np.stack([assets[i].image for i in chunk])
-                pending.append((chunk, codec, self.encode_group_async(
-                    batch, codec, strategy, quality)))
+                pending.append((chunk, codec, fmt, self.encode_group_async(
+                    batch, codec, strategy, quality, fmt)))
                 if len(pending) >= self.max_inflight:
                     collect_one()
         while pending:
@@ -320,6 +359,10 @@ class AssetPipeline:
             quality = getattr(a, "quality", "reference")
             h, w = a.image.shape[0], a.image.shape[1]
             if quality == "reference" and num_chain_levels(h, w) > 0:
+                # Swapped formats fuse too: downsample decodes AND
+                # re-encodes swap-free regardless of source format
+                # (compressor4x4_helper.h:602-607), so chain bytes are
+                # format-independent; only the metadata format differs.
                 fused_groups.setdefault(
                     (a.codec, a.strategy, h, w), []).append(a)
             else:
@@ -338,11 +381,12 @@ class AssetPipeline:
                 for j, a in enumerate(chunk):
                     lh, lw = h, w
                     prev = results[a.name]
+                    fmt = getattr(a, "format", None) or _FORMATS[codec]
                     for lvl in range(levels):
                         lh //= 2
                         lw //= 2
                         md = Metadata(
-                            _FORMATS[codec], _NAMES[codec], lh, lw,
+                            fmt, _NAMES[codec], lh, lw,
                             4 * num_blocks(lh), 4 * num_blocks(lw), 0)
                         payload = outs[lvl][j].reshape(-1)
                         ci = CompressedImage()

@@ -8,10 +8,13 @@ idle hardware:
     python tools/fuzz_campaign.py differential 200 1200
     python tools/fuzz_campaign.py decode 100 600
     python tools/fuzz_campaign.py hq 8 58
+    python tools/fuzz_campaign.py pvrtc 56 556
 
 Any assertion failure is a real byte-parity (or never-worse) bug.
 Campaign log for the record: differential [200, 1200) + decode [100, 600)
-+ hq [8, 58) all passed (2026-08-18, CPU backend).
++ hq [8, 58) all passed (2026-08-18, CPU backend); pvrtc [56, 556)
+(500 trials: 2bpp oracle parity + fast-path cross-check + 4bpp
+invariants) passed (2026-08-19, CPU backend).
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ jax.config.update("jax_platforms", "cpu")
 
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("kind", choices=["differential", "decode", "hq"])
+    p.add_argument("kind", choices=["differential", "decode", "hq", "pvrtc"])
     p.add_argument("start", type=int)
     p.add_argument("stop", type=int)
     args = p.parse_args()
@@ -38,7 +41,7 @@ def main() -> int:
     from tests import test_fuzz
 
     oracle = None
-    if args.kind in ("differential", "decode"):
+    if args.kind in ("differential", "decode", "pvrtc"):
         from oracle import Oracle
 
         oracle = Oracle.create()
@@ -52,6 +55,8 @@ def main() -> int:
         "decode":
             lambda t: test_fuzz.test_fuzz_decode_arbitrary_payloads(t, oracle),
         "hq": test_fuzz.test_fuzz_hq_never_worse,
+        "pvrtc":
+            lambda t: test_fuzz.test_fuzz_pvrtc_differential(t, oracle),
     }[args.kind]
 
     t0 = time.time()
