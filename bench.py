@@ -159,6 +159,40 @@ def bench_pvrtc_hq_encode(h: int = 1024, w: int = 1024) -> float:
     return (h * w) / dt / 1e6
 
 
+def bench_dxt1_hq_encode(h: int = 1024, w: int = 1024) -> float:
+    """quality="high" DXT1 (PCA + cluster-fit + never-worse best-of) —
+    fleet-viability number for the flagship quality extension
+    (VERDICT r3 #3). Same accounting as pvrtc_hq: image in, blocks out."""
+    from texcomp.blocks import image_to_blocks
+    from texcomp.codecs.dxt_hq import encode_dxt1_hq_blocks
+
+    dt = _time_op(lambda im: encode_dxt1_hq_blocks(image_to_blocks(im)),
+                  _rand_image(h, w, 3))
+    return (h * w) / dt / 1e6
+
+
+def bench_etc1_hq_encode(h: int = 1024, w: int = 1024) -> float:
+    """quality="high" ETC1 (extended search, never-worse)."""
+    from texcomp.blocks import image_to_blocks
+    from texcomp.codecs.etc import encode_etc1_hq_blocks
+
+    dt = _time_op(lambda im: encode_etc1_hq_blocks(image_to_blocks(im)),
+                  _rand_image(h, w, 3))
+    return (h * w) / dt / 1e6
+
+
+def bench_pvrtc_encode_8192() -> float:
+    """Scale-probe regression guard for the 8192^2 PVRTC cliff fix
+    (PERF.md "the cliff is dead": 1.5 -> 4.1 Gpix/s; VERDICT r3 #5)."""
+    return bench_pvrtc_encode(8192, 8192)
+
+
+def bench_etc1_encode_2048() -> float:
+    """Scale-probe companion to etc1_encode@4096^2: pins the certified
+    scale-flat per-block cost (PERF.md round-4 falloff closure)."""
+    return bench_etc1_encode(2048, 2048)
+
+
 def bench_mipmap_chain(size: int = 2048, interpret: bool = False) -> float:
     """Full DXT5 mipmap chain from a size^2 level-0 payload — BASELINE
     config 2's workload — as ONE fused device program. Throughput counts
@@ -307,6 +341,10 @@ _EXTRA_BENCHES = {
     "pvrtc_encode": bench_pvrtc_encode,     # BASELINE config 4 (2bpp parity bar)
     "pvrtc4_encode": bench_pvrtc4_encode,   # BASELINE config 4 (4bpp extension)
     "pvrtc_hq": bench_pvrtc_hq_encode,      # quality="high" fleet viability
+    "dxt1_hq": bench_dxt1_hq_encode,        # quality="high" fleet viability
+    "etc1_hq": bench_etc1_hq_encode,        # quality="high" fleet viability
+    "pvrtc_encode_8192": bench_pvrtc_encode_8192,  # scale-probe guard
+    "etc1_encode_2048": bench_etc1_encode_2048,    # scale-probe guard
     "pipeline_mixed": bench_pipeline,       # BASELINE config 5 (1-chip slice)
     "pipeline_fleet": bench_pipeline_fleet,  # BASELINE config 5 (10k fleet)
     "transcode_dxt1_etc1": bench_transcode,

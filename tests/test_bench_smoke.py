@@ -35,6 +35,8 @@ def test_bench_extras_assemble(monkeypatch):
         (bench.bench_pvrtc_encode, dict(h=64, w=64)),
         (bench.bench_pvrtc4_encode, dict(h=64, w=64)),
         (bench.bench_pvrtc_hq_encode, dict(h=64, w=64)),
+        (bench.bench_dxt1_hq_encode, dict(h=64, w=64)),
+        (bench.bench_etc1_hq_encode, dict(h=64, w=64)),
         (bench.bench_transcode, dict(h=64, w=64, interpret=True)),
         (bench.bench_dxt1_decode, dict(h=64, w=64)),
         (bench.bench_etc1_decode, dict(h=64, w=64)),

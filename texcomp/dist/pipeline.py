@@ -164,6 +164,77 @@ def _batch_encode(images: jax.Array, codec: str, strategy: int,
         lambda blk: etc.encode_etc1_blocks(blk, strategy))(blocks)
 
 
+def _tail_can_downsample(h: int, w: int) -> bool:
+    """Whether one more Downsample succeeds at uncompressed (h, w) —
+    the acceptance rules of compressor4x4_helper.h:281-284 (even block
+    counts unless single-block) and :344-350 (3-pixel dims fail)."""
+    if max(h, w) <= 1:
+        return False
+    nbr, nbc = num_blocks(h), num_blocks(w)
+    if (nbr > 1 and nbr % 2 != 0) or (nbc > 1 and nbc % 2 != 0):
+        return False
+    if nbr == 1 and nbc == 1 and (h == 3 or w == 3):
+        return False
+    return True
+
+
+@partial(jax.jit, static_argnames=("codec", "strategy", "h", "w"))
+def _tail_step_batched(payloads: jax.Array, *, codec: str, strategy: int,
+                       h: int, w: int) -> jax.Array:
+    """One Downsample level for a whole same-shape batch: (B, N, bb)
+    payloads at uncompressed (h, w) -> (B, N', bb) at ((h+1)//2,
+    (w+1)//2). Bit-identical to helper4x4.downsample per asset (decode
+    and encode are per-block, so the batch flattens into the block axis;
+    the average/replicate/tile steps mirror compressor4x4_helper.h:
+    296-311 sequential reads, :344-388 single-block replication,
+    :357-387 + :610-636 quadrant tiling, swap-free re-encode :602-607)."""
+    from texcomp.codecs import dxt, etc
+
+    b = payloads.shape[0]
+    nbr, nbc = num_blocks(h), num_blocks(w)
+    flat = payloads.reshape(b * nbr * nbc, payloads.shape[-1])
+    if codec == "dxt1":
+        px = dxt.decode_dxt1_blocks(flat)
+    elif codec == "dxt5":
+        px = dxt.decode_dxt5_blocks(flat)
+    else:
+        px = etc.decode_etc1_blocks(flat)
+    c = px.shape[-1]
+    img = (px.reshape(b, nbr, nbc, 4, 4, c).transpose(0, 1, 3, 2, 4, 5)
+           .reshape(b, nbr * 4, nbc * 4, c).astype(jnp.int32))
+    if nbr == 1 and nbc == 1:
+        # 1-/2-pixel dims replicate before averaging (:344-388).
+        if w == 1:
+            img = jnp.tile(img[:, :, 0:1], (1, 1, 4, 1))
+        elif w == 2:
+            img = jnp.tile(img[:, :, 0:2], (1, 1, 2, 1))
+        if h == 1:
+            img = jnp.tile(img[:, 0:1, :], (1, 4, 1, 1))
+        elif h == 2:
+            img = jnp.tile(img[:, 0:2, :], (1, 2, 1, 1))
+    h2, w2 = img.shape[1] // 2, img.shape[2] // 2
+    # Truncating 2x2 average of NONNEG pixels: >> 2 == // 4
+    # (color_util.h:335-380; no idiv, see CLAUDE.md playbook).
+    avg = img.reshape(b, h2, 2, w2, 2, c).sum(axis=(2, 4)) >> 2
+    # Tile where a grid dimension had one block (the downsampled 2x2 is
+    # stored at two positions, compressor4x4_helper.h:610-636).
+    if avg.shape[2] < 4:
+        avg = jnp.tile(avg, (1, 1, 4 // avg.shape[2], 1))
+    if avg.shape[1] < 4:
+        avg = jnp.tile(avg, (1, 4 // avg.shape[1], 1, 1))
+    gh, gw = avg.shape[1], avg.shape[2]
+    dblocks = (avg.reshape(b, gh // 4, 4, gw // 4, 4, c)
+               .transpose(0, 1, 3, 2, 4, 5).reshape(-1, 16, c))
+    if codec == "dxt1":
+        out = dxt.encode_dxt1_blocks(dblocks)
+    elif codec == "dxt5":
+        out = dxt.encode_dxt5_blocks(
+            dblocks, jnp.zeros((dblocks.shape[0],), dtype=bool))
+    else:
+        out = etc.encode_etc1_blocks(dblocks, strategy)
+    return out.reshape(b, (gh // 4) * (gw // 4), out.shape[-1])
+
+
 class AssetPipeline:
     """Mesh-sharded batch encoder for mixed texture assets."""
 
@@ -331,9 +402,33 @@ class AssetPipeline:
         outs = self._jitted[key](jnp.asarray(payloads))
         return [np.asarray(o)[:b] for o in outs]
 
+    def _batched_tail(self, chunk: Sequence[TextureAsset], codec: str,
+                      strategy: int, payloads: np.ndarray, h: int, w: int,
+                      results: dict[str, CompressedImage],
+                      start_lvl: int) -> None:
+        """Attach the ragged mip tail for a same-shape chunk: one batched
+        device program per level (bit-identical to per-asset Downsample —
+        see _tail_step_batched) instead of a per-asset Python loop."""
+        cur = jnp.asarray(np.ascontiguousarray(payloads))
+        lvl = start_lvl
+        lh, lw = h, w
+        while _tail_can_downsample(lh, lw):
+            cur = _tail_step_batched(cur, codec=codec, strategy=strategy,
+                                     h=lh, w=lw)
+            arr = np.asarray(cur)
+            lh, lw = (lh + 1) // 2, (lw + 1) // 2
+            for j, a in enumerate(chunk):
+                fmt = getattr(a, "format", None) or _FORMATS[codec]
+                md = Metadata(fmt, _NAMES[codec], lh, lw,
+                              4 * num_blocks(lh), 4 * num_blocks(lw), 0)
+                ci = CompressedImage()
+                ci.create_owned_data(md, arr[j].size)
+                ci.get_mutable_data()[:] = arr[j].reshape(-1)
+                results[f"{a.name}_mip{lvl}"] = ci
+            lvl += 1
+
     def _run_mipmaps(self, assets: Sequence[TextureAsset],
                      results: dict[str, CompressedImage]) -> None:
-        from texcomp.api import helper4x4 as h4
         from texcomp.api.dxtc import DxtcCompressor
         from texcomp.api.etc import EtcCompressor
         from texcomp.ops.mipmap import num_chain_levels
@@ -348,25 +443,32 @@ class AssetPipeline:
                     if codec == "etc1" else DxtcCompressor(quality=quality))
             return chainers[key]
 
-        # Group fused-eligible assets by (codec, strategy, shape): one
-        # batched chain program per group (see chain_group) instead of one
-        # device program per asset per level.
+        # Group assets by (codec, strategy, shape): one batched chain
+        # program per group (see chain_group) for the fused prefix, then
+        # ONE batched per-level program per group for the ragged tail
+        # (_tail_step_batched) — zero per-asset device dispatches. Only
+        # quality="high" assets keep the per-asset path (their chain is a
+        # per-level never-worse re-encode through the API compressors).
+        # Swapped formats group together: downsample decodes AND
+        # re-encodes swap-free regardless of source format
+        # (compressor4x4_helper.h:602-607), so chain bytes are
+        # format-independent; only the metadata format differs.
         fused_groups: dict[tuple, list[TextureAsset]] = {}
+        ref_tail_groups: dict[tuple, list[TextureAsset]] = {}
         tail_only: list[TextureAsset] = []
         for a in assets:
             if a.codec in ("pvrtc", "pvrtc4"):
                 continue
             quality = getattr(a, "quality", "reference")
             h, w = a.image.shape[0], a.image.shape[1]
-            if quality == "reference" and num_chain_levels(h, w) > 0:
-                # Swapped formats fuse too: downsample decodes AND
-                # re-encodes swap-free regardless of source format
-                # (compressor4x4_helper.h:602-607), so chain bytes are
-                # format-independent; only the metadata format differs.
+            if quality != "reference":
+                tail_only.append(a)
+            elif num_chain_levels(h, w) > 0:
                 fused_groups.setdefault(
                     (a.codec, a.strategy, h, w), []).append(a)
             else:
-                tail_only.append(a)
+                ref_tail_groups.setdefault(
+                    (a.codec, a.strategy, h, w), []).append(a)
 
         for (codec, strategy, h, w), group in fused_groups.items():
             levels = num_chain_levels(h, w)
@@ -380,7 +482,6 @@ class AssetPipeline:
                                         levels)
                 for j, a in enumerate(chunk):
                     lh, lw = h, w
-                    prev = results[a.name]
                     fmt = getattr(a, "format", None) or _FORMATS[codec]
                     for lvl in range(levels):
                         lh //= 2
@@ -393,15 +494,21 @@ class AssetPipeline:
                         ci.create_owned_data(md, payload.size)
                         ci.get_mutable_data()[:] = payload
                         results[f"{a.name}_mip{lvl + 1}"] = ci
-                        prev = ci
-                    # Ragged tail below the fused prefix (per-level API
-                    # path, same as downsample_chain's tail).
-                    tail: list[CompressedImage] = []
-                    h4.downsample_chain_tail(
-                        chainer_for(codec, strategy, "reference"), prev,
-                        tail, None)
-                    for k, mip in enumerate(tail, start=levels + 1):
-                        results[f"{a.name}_mip{k}"] = mip
+                # Ragged tail below the fused prefix: one batched
+                # per-level program for the whole chunk.
+                self._batched_tail(chunk, codec, strategy, outs[-1],
+                                   h >> levels, w >> levels, results,
+                                   start_lvl=levels + 1)
+
+        for (codec, strategy, h, w), group in ref_tail_groups.items():
+            nblk = num_blocks(h) * num_blocks(w)
+            for start in range(0, len(group), self.batch_size):
+                chunk = group[start : start + self.batch_size]
+                payloads = np.stack([
+                    np.asarray(results[a.name].get_data())
+                    .reshape(nblk, -1) for a in chunk])
+                self._batched_tail(chunk, codec, strategy, payloads, h, w,
+                                   results, start_lvl=1)
 
         for a in tail_only:
             quality = getattr(a, "quality", "reference")
