@@ -189,6 +189,31 @@ def test_zorder_words_matches_gather(nbx, nby, rng):
     np.testing.assert_array_equal(got, words[:, perm])
 
 
+@pytest.mark.parametrize("size,batch", [(8, 5), (16, 4), (64, 3), (256, 2)])
+def test_batched_pipeline_parity(size, batch, rng):
+    """The lane-folded fleet encoder (ops/pvrtc_fast
+    encode_pvrtc_2bpp_batched) is byte-identical per image to the
+    single-image fast pipeline for every Z-order regime: gather fallback
+    (8^2, 16^2), small-grid one-hot matmul (64^2), and the MXU-tiled path
+    (256^2). Content mixes noise with structured gradients so the morph,
+    wrap-roll variants, and per-lane global-pixel-(0,0) fallback all see
+    distinct per-image data."""
+    import jax.numpy as jnp
+
+    from texcomp.ops import pvrtc_fast
+
+    imgs = np.stack(
+        [rng.integers(0, 256, (size, size, 4), dtype=np.uint8)
+         if i % 2 == 0 else make_test_image(rng, size, size, 4)
+         for i in range(batch)])
+    out = np.asarray(
+        pvrtc_fast.encode_pvrtc_2bpp_batched(jnp.asarray(imgs)))
+    for i in range(batch):
+        ref = np.asarray(
+            pvrtc_fast.encode_pvrtc_2bpp_fast(jnp.asarray(imgs[i])))
+        np.testing.assert_array_equal(out[i], ref, err_msg=f"image {i}")
+
+
 class TestPvrtc4bpp:
     """4bpp extension: round-trip quality and format invariants."""
 

@@ -108,9 +108,11 @@ def _batch_encode(images: jax.Array, codec: str, strategy: int,
         return _batch_encode_hq(images, codec, swap)
 
     if codec == "pvrtc":
-        from texcomp.ops import pvrtc_encode_image_op
+        # Lane-folded batch encode: vmap over the whole pipeline was
+        # 2-4x slower per pixel on the fleet distribution (PERF.md r4).
+        from texcomp.ops.pvrtc_fast import encode_pvrtc_2bpp_batched
 
-        return jax.vmap(pvrtc_encode_image_op)(images)
+        return encode_pvrtc_2bpp_batched(images)
     if codec == "pvrtc4":
         from texcomp.codecs.pvrtc4 import encode_pvrtc_4bpp_device
 
@@ -518,13 +520,17 @@ class AssetPipeline:
                 results[f"{a.name}_mip{lvl}"] = mip
 
 
-def quality_report(pipeline: AssetPipeline, images: np.ndarray,
-                   codec: str = "dxt1") -> float:
-    """Encode + decode a batch and return the mean PSNR (dB), with the
-    reduction running as a cross-mesh mean (the pipeline's only
-    collective). Supports every pipeline codec: dxt1 | dxt5 | etc1 |
-    pvrtc | pvrtc4 (the PVRTC decoders are extensions — the reference
-    cannot decode PVRTC, pvrtc_compressor.cc:669-705)."""
+def quality_sums(pipeline: AssetPipeline, images: np.ndarray,
+                 codec: str = "dxt1") -> tuple[float, float]:
+    """Encode + decode a batch and return (sum of squared error, element
+    count) — the raw sufficient statistics behind the PSNR report, with
+    the per-shard reduction running as a cross-mesh psum (the pipeline's
+    only collective). Exposed separately so a multi-host caller
+    (dist/multihost.fleet_quality) can combine hosts' sums over DCN
+    before the final log — a mean of per-host PSNRs would be wrong.
+    Supports every pipeline codec: dxt1 | dxt5 | etc1 | pvrtc | pvrtc4
+    (the PVRTC decoders are extensions — the reference cannot decode
+    PVRTC, pvrtc_compressor.cc:669-705)."""
     from texcomp.codecs import dxt, etc
 
     mesh = pipeline.mesh
@@ -558,11 +564,12 @@ def quality_report(pipeline: AssetPipeline, images: np.ndarray,
             cnt = wts * jnp.float32(err[0].size)
             se = jax.lax.psum(jnp.sum(se), "data")
             cnt = jax.lax.psum(jnp.sum(cnt), "data")
-            return se / jnp.maximum(cnt, 1.0)
+            return se, cnt
 
-        mse = jax.shard_map(local, mesh=mesh, in_specs=(P("data"), P("data")),
-                            out_specs=P(), check_vma=False)(imgs, weights)
-        return 10.0 * jnp.log10(255.0**2 / jnp.maximum(mse, 1e-9))
+        return jax.shard_map(local, mesh=mesh,
+                             in_specs=(P("data"), P("data")),
+                             out_specs=(P(), P()), check_vma=False)(
+                                 imgs, weights)
 
     b = images.shape[0]
     pad = (-b) % pipeline.ndev
@@ -570,4 +577,18 @@ def quality_report(pipeline: AssetPipeline, images: np.ndarray,
     if pad:
         images = np.concatenate([images, images[:1].repeat(pad, 0)], 0)
         weights[b:] = 0.0
-    return float(jax.jit(step)(jnp.asarray(images), jnp.asarray(weights)))
+    se, cnt = jax.jit(step)(jnp.asarray(images), jnp.asarray(weights))
+    return float(se), float(cnt)
+
+
+def psnr_from_sums(se: float, cnt: float) -> float:
+    """PSNR (dB) from (sum squared error, element count) sums."""
+    mse = se / max(cnt, 1.0)
+    return float(10.0 * np.log10(255.0**2 / max(mse, 1e-9)))
+
+
+def quality_report(pipeline: AssetPipeline, images: np.ndarray,
+                   codec: str = "dxt1") -> float:
+    """Encode + decode a batch and return the mean PSNR (dB); see
+    quality_sums for the reduction structure."""
+    return psnr_from_sums(*quality_sums(pipeline, images, codec))

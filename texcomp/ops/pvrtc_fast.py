@@ -672,3 +672,161 @@ def encode_pvrtc_2bpp_fast(image: jax.Array) -> jax.Array:
     h, w = image.shape[0], image.shape[1]
     words = _encode_rowmajor_words(image, None)
     return _zorder_payload(words, h // BLOCK_H, w // BLOCK_W)
+
+
+# ---------------------------------------------------------------------------
+# Batched fleet encode: B same-size images fold into the LANE axis instead
+# of a vmap over the whole pipeline (vmap was 2-4x slower per pixel on the
+# fleet distribution: every barrier-staged intermediate gains a batch
+# dimension and the tiny low-res stages relayout per image). The heavy
+# stages (morph, upscale+modulate, modes+pack) are lane-local by design, so
+# they run UNCHANGED on (., B*NB) planes — only the cross-block addressing
+# (wrap rolls, Z-order) needs per-image grid shapes, and the all-zero-axis
+# fallback needs a per-lane global pixel (0, 0) instead of a scalar.
+# ---------------------------------------------------------------------------
+
+
+def _make_var_words_batched(low_words, b: int, nby: int, nbx: int):
+    """Batched _make_var_words: (1, B*NB) -> (9, B*NB), wraps per image."""
+    low = low_words.reshape(b, nby, nbx)
+    rows = {0: low, 1: jnp.roll(low, 1, axis=1),
+            -1: jnp.roll(low, -1, axis=1)}
+    out = []
+    for dy, dx in _VAR_DYDX:
+        ry = rows[dy]
+        v = jnp.roll(ry, dx, axis=2) if dx else ry
+        out.append(v.reshape(1, -1))
+    return jnp.concatenate(out, axis=0)
+
+
+def _mode_edges_batched(mod, b: int, nby: int, nbx: int):
+    """Batched _mode_edges: image-wrapped neighbor tiles per image."""
+    nb = mod.shape[1]
+    col0 = mod[0::8]  # (4, B*NB)
+    nh_edge = jnp.roll(col0.reshape(4, b, nby, nbx), -1,
+                       axis=3).reshape(4, nb)
+    m3 = mod[0:8].reshape(8, b, nby, nbx)
+    return nh_edge, jnp.roll(m3, -1, axis=2).reshape(8, nb)
+
+
+def _morph_kernel_rowp00(p00_ref, words_ref, out_ref):
+    out_ref[:] = _morph_words(words_ref[:], p00_ref[:])
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def morph_packed_batched(words32: jax.Array, p00wi: jax.Array,
+                         interpret: bool = False) -> jax.Array:
+    """Pallas morph with a PER-LANE (1, N) int32 packed global pixel (0, 0)
+    (each lane's image origin) instead of morph_packed's (1, 1) scalar."""
+    n = words32.shape[1]
+    tile = _tile_for(n)
+    words32 = _pad_lanes(words32, tile)
+    p00wi = _pad_lanes(p00wi, tile)
+    np_ = words32.shape[1]
+    out = pl.pallas_call(
+        _morph_kernel_rowp00,
+        grid=(np_ // tile,),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, np_), _U32),
+        interpret=interpret,
+    )(p00wi, words32)
+    return out[:, :n]
+
+
+def _zorder_words_batched(w2: jax.Array, b: int, nbx: int,
+                          nby: int) -> jax.Array:
+    """(C, B*NB) uint32 row-major -> Z-order within each image's lane
+    segment. One shared permutation per image: the tile decomposition
+    batches by treating each image's tiles as extra coarse tiles; small
+    grids (NB < _ZTILE) run the WHOLE shared perm as one one-hot bf16
+    matmul over byte planes (exact for bytes) instead of a B*NB-element
+    gather (~10 ns/element)."""
+    c = w2.shape[0]
+    nb = w2.shape[1] // b
+    tiles = _zorder_tiles(nbx, nby)
+    if tiles is not None:
+        tile_order, th, tw, one_hot = tiles
+        nty, ntx = nby // th, nbx // tw
+        t = w2.reshape(c, b, nty, th, ntx, tw).transpose(0, 1, 2, 4, 3, 5)
+        t = t.reshape(c, b * nty * ntx, _ZTILE)
+        idx = (jnp.asarray(tile_order)[None, :]
+               + (jnp.arange(b) * (nty * ntx))[:, None]).reshape(-1)
+        t = jnp.take(t, idx, axis=1)
+        m_bf = jnp.asarray(one_hot, dtype=jnp.bfloat16)
+        planes = [((t >> (8 * k)) & 0xFF).astype(jnp.bfloat16)
+                  for k in range(4)]
+        outp = [
+            jnp.einsum("cnt,tu->cnu", p, m_bf,
+                       preferred_element_type=jnp.float32).astype(_U32)
+            for p in planes
+        ]
+        out = outp[0] | (outp[1] << 8) | (outp[2] << 16) | (outp[3] << 24)
+        return out.reshape(c, b * nb)
+    perm = np.asarray(zorder_block_permutation(nbx, nby))
+    if nb <= _ZTILE:
+        one_hot = np.zeros((nb, nb), np.float32)
+        one_hot[perm, np.arange(nb)] = 1.0  # out[:, j] = in[:, perm[j]]
+        m_bf = jnp.asarray(one_hot, dtype=jnp.bfloat16)
+        t = w2.reshape(c, b, nb)
+        planes = [((t >> (8 * k)) & 0xFF).astype(jnp.bfloat16)
+                  for k in range(4)]
+        outp = [
+            jnp.einsum("cbt,tu->cbu", p, m_bf,
+                       preferred_element_type=jnp.float32).astype(_U32)
+            for p in planes
+        ]
+        out = outp[0] | (outp[1] << 8) | (outp[2] << 16) | (outp[3] << 24)
+        return out.reshape(c, b * nb)
+    return jnp.take(w2.reshape(c, b, nb), jnp.asarray(perm),
+                    axis=2).reshape(c, b * nb)
+
+
+@jax.jit
+def encode_pvrtc_2bpp_batched(images: jax.Array) -> jax.Array:
+    """(B, H, W, 4) uint8 same-size square power-of-two images ->
+    (B, NB, 8) uint8 Z-order PVRTC records; each image's payload is
+    byte-identical to encode_pvrtc_2bpp_fast(images[i])."""
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+    nby, nbx = h // BLOCK_H, w // BLOCK_W
+    nb = nby * nbx
+    barrier = jax.lax.optimization_barrier
+
+    from texcomp.ops import use_pallas as _use_pallas
+
+    use_pallas = _use_pallas()
+    # Tall stack: the (B*H, W) image's block grid is the per-image grids
+    # concatenated in batch order (H % BLOCK_H == 0), so ONE pack feeds
+    # all B images' blocks onto lanes.
+    words32 = barrier(_to_block_words(images.reshape(b * h, w, 4)))
+    # Per-lane global pixel (0, 0): image i's origin word is lane i*NB.
+    p00 = jnp.broadcast_to(
+        words32[0:1, ::nb].reshape(1, b, 1), (1, b, nb)
+    ).reshape(1, b * nb).astype(jnp.int32)
+    if use_pallas and words32.shape[1] >= (1 << 20):
+        ab = morph_packed_batched(words32, p00)
+    else:
+        ab = _morph_words(words32, p00)
+    ab = barrier(ab)
+    va9 = _make_var_words_batched(ab[0:1], b, nby, nbx)
+    vb9 = _make_var_words_batched(ab[1:2], b, nby, nbx)
+    if use_pallas:
+        mod = upscale_modulate_packed(
+            words32, jnp.concatenate([va9, vb9], axis=0))
+    else:
+        mod = _upscale_modulate_body(words32, va9, vb9)
+    mod = barrier(mod)
+    nh_edge, nv_edge = _mode_edges_batched(mod, b, nby, nbx)
+    if use_pallas:
+        words = modes_pack_colors_packed(mod, nh_edge, nv_edge, ab)
+    else:
+        words = _modes_pack_colors_body(mod, nh_edge, nv_edge, ab)
+    zw = _zorder_words_batched(words, b, nbx, nby)
+    both = jnp.stack([zw[0].reshape(b, nb), zw[1].reshape(b, nb)], axis=-1)
+    return jax.lax.bitcast_convert_type(both, jnp.uint8).reshape(b, nb, 8)
