@@ -30,8 +30,40 @@ def demo_fleet(seed: int = 7):
     return assets
 
 
+def pod_fleet(seed: int = 11):
+    """O(200) mixed fleet at 64^2-256^2 — the production-dose multihost
+    dryrun: every pipeline codec, size-skewed like BASELINE config 5,
+    and a quarter of the DXTC assets in swapped BGR/BGRA formats so the
+    format routing crosses the process boundary too."""
+    from texcomp.api.container import Format
+    from texcomp.dist.pipeline import TextureAsset
+
+    rng = np.random.default_rng(seed)
+    swapped = {"dxt1": Format.BGR, "dxt5": Format.BGRA}
+    assets = []
+    for size, per in ((64, 36), (128, 12), (256, 4)):
+        for codec, ch in (("dxt1", 3), ("etc1", 3), ("dxt5", 4),
+                          ("pvrtc", 4)):
+            for i in range(per):
+                img = rng.integers(0, 256, (size, size, ch), dtype=np.uint8)
+                fmt = (swapped[codec]
+                       if codec in swapped and i % 4 == 3 else None)
+                assets.append(TextureAsset(f"{codec}_{size}_{i}", img,
+                                           codec, format=fmt))
+    return assets  # 208 assets, ~2.4 Mpix level-0
+
+
+def quality_batch(seed: int = 13, n: int = 24):
+    """Deterministic global image batch for the cross-host PSNR metric
+    (multihost.fleet_quality); identical on every process."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (n, 64, 64, 3), dtype=np.uint8)
+
+
 def launch_two_process_demo(out_paths, repo: str,
-                            timeout: float = 600.0):
+                            timeout: float = 600.0,
+                            fleet: str = "demo",
+                            mipmaps: bool = False):
     """Spawn the 2-process jax.distributed demo (this module as the
     worker entry) on a free localhost port and return the two loaded
     shard dicts. The single launch harness for both the pytest parity
@@ -56,7 +88,8 @@ def launch_two_process_demo(out_paths, repo: str,
     procs = [
         subprocess.Popen(
             [sys.executable, "-m", "texcomp.dist._multihost_worker",
-             str(p), "2", str(port), str(out_paths[p])],
+             str(p), "2", str(port), str(out_paths[p]), fleet,
+             str(int(mipmaps))],
             env=env, cwd=repo,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for p in range(2)
@@ -79,6 +112,8 @@ def launch_two_process_demo(out_paths, repo: str,
 def main() -> None:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     outfile = sys.argv[4]
+    fleet = sys.argv[5] if len(sys.argv) > 5 else "demo"
+    mipmaps = bool(int(sys.argv[6])) if len(sys.argv) > 6 else False
 
     import jax
 
@@ -88,9 +123,17 @@ def main() -> None:
     multihost.initialize(f"localhost:{port}", num_processes=nproc,
                          process_id=pid)
     assert jax.process_count() == nproc
-    results = multihost.run_fleet(demo_fleet(), batch_size=4)
-    np.savez(outfile, **{name: np.asarray(ci.get_data())
-                         for name, ci in results.items()})
+    assets = pod_fleet() if fleet == "pod" else demo_fleet()
+    results = multihost.run_fleet(
+        assets, mipmaps=mipmaps, batch_size=64 if fleet == "pod" else 4)
+    out = {name: np.asarray(ci.get_data())
+           for name, ci in results.items()}
+    if fleet == "pod":
+        # Cross-host quality metric: per-host (sse, count) sums cross
+        # DCN once; every process must report the SAME global PSNR.
+        out["__psnr_dxt1__"] = np.asarray(
+            multihost.fleet_quality(quality_batch(), "dxt1"))
+    np.savez(outfile, **out)
 
 
 if __name__ == "__main__":

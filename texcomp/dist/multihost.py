@@ -71,3 +71,28 @@ def run_fleet(assets: Sequence[TextureAsset], *, mipmaps: bool = False,
     if pipeline is None:
         pipeline = AssetPipeline(mesh=local_mesh(), batch_size=batch_size)
     return pipeline.run(partition(assets), mipmaps=mipmaps)
+
+
+def fleet_quality(images: np.ndarray, codec: str = "dxt1", *,
+                  pipeline: AssetPipeline | None = None) -> float:
+    """Global-fleet PSNR across every host: each process encodes+decodes
+    its round-robin partition of ``images`` on its LOCAL mesh
+    (pipeline.quality_sums — in-host reduction is an ICI psum), then the
+    per-host (sum squared error, count) pairs — two scalars per host —
+    cross DCN once and combine before the log. Every process passes the
+    SAME global image batch and returns the SAME global PSNR; averaging
+    per-host PSNRs instead would be wrong for heterogeneous partitions."""
+    from jax.experimental import multihost_utils
+
+    from texcomp.dist.pipeline import psnr_from_sums, quality_sums
+
+    if pipeline is None:
+        pipeline = AssetPipeline(mesh=local_mesh())
+    idx, n = jax.process_index(), jax.process_count()
+    mine = images[idx::n]
+    se, cnt = (quality_sums(pipeline, mine, codec) if len(mine)
+               else (0.0, 0.0))
+    sums = multihost_utils.process_allgather(
+        np.asarray([se, cnt], np.float64))
+    return psnr_from_sums(float(sums[..., 0].sum()),
+                          float(sums[..., 1].sum()))
