@@ -531,3 +531,41 @@ def test_pipeline_inflight_window_invariance(rng):
         assert set(res) == {a.name for a in assets}
         outs.append({k: bytes(v.get_data()) for k, v in res.items()})
     assert outs[0] == outs[1] == outs[2]
+
+
+@pytest.mark.parametrize("codec,ch,b,hw", [
+    ("dxt1", 3, 12, 256), ("dxt5", 4, 6, 512), ("etc1", 3, 48, 64),
+    ("dxt1", 3, 7, 32), ("dxt5", 4, 12, 16),
+])
+def test_folded_encode_mosaic_parity(codec, ch, b, hw, rng):
+    """The grid-mosaic batched encode (_folded_encode: one pack + one
+    words-kernel call + uint32 order fix) is byte-identical per image to
+    the per-image jnp ground truth, including true (gr>1, gc>1) grids,
+    const-color blocks, and BGR/BGRA swaps. Interpret mode runs the SAME
+    Pallas kernels the TPU path uses."""
+    import jax.numpy as jnp
+
+    from texcomp.blocks import image_to_blocks
+    from texcomp.codecs import dxt, etc
+    from texcomp.dist.pipeline import _folded_encode, _mosaic_cols
+
+    imgs = np.stack([make_test_image(rng, hw, hw, ch) for _ in range(b)])
+    imgs[0, :8] = 77  # solid region -> const-color LUT path
+    gc = _mosaic_cols(b, hw)
+    assert b % gc == 0
+    for swap in (False, True) if codec != "etc1" else (False,):
+        out = np.asarray(_folded_encode(jnp.asarray(imgs), codec, 2, swap,
+                                        interpret=True))
+        for i in range(0, b, max(1, b // 4)):
+            blk = image_to_blocks(jnp.asarray(imgs[i]))
+            if swap:
+                blk = jnp.concatenate([blk[..., 2::-1], blk[..., 3:]], -1)
+            if codec == "dxt1":
+                ref = dxt.encode_dxt1_blocks(blk, swap_red_and_blue=swap)
+            elif codec == "dxt5":
+                outside = jnp.zeros((blk.shape[0],), dtype=bool)
+                ref = dxt.encode_dxt5_blocks(blk, outside,
+                                             swap_red_and_blue=swap)
+            else:
+                ref = etc.encode_etc1_blocks(blk, 2)
+            np.testing.assert_array_equal(out[i], np.asarray(ref))

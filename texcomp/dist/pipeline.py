@@ -91,6 +91,72 @@ def _batch_encode_hq(images: jax.Array, codec: str,
     return jax.vmap(etc.encode_etc1_hq_blocks)(blocks)
 
 
+def _mosaic_cols(b: int, w: int) -> int:
+    """Images per mosaic row when batch-folding for the pack transpose.
+
+    Folding the batch into the image Y axis alone (one B*H-tall column)
+    makes the pack's major-dims transpose pathologically slow at small
+    widths (~4.2 ms of a 5.2 ms dxt1 256^2 x384 cell, vs ~0.5 ms for the
+    same pixels as one wide image — the transpose cost scales with the
+    tall row count, not bytes). Folding as a (gr, gc) image GRID keeps
+    one pack call but restores a wide aspect; the lane-order fix then
+    runs on the (wpb, B*N) uint32 OUTPUT words (8-16x fewer bytes than
+    the input). gc = widest divisor of b with gc*w <= 2048. Measured on
+    v5e (dxt1 cells, tall -> mosaic): 64^2 x1024 0.63 -> 0.46 ms, 128^2
+    x768 1.33 -> 1.08, 256^2 x384 5.58 -> 2.37; at w >= 512 the tall
+    pack is already wide enough and the mosaic's input grid transpose
+    only adds cost (512^2 x192: 5.37 -> 7.47 ms), so it stays tall."""
+    if w >= 512 or b == 1:
+        return 1
+    gc = max(1, min(b, 2048 // w))
+    while b % gc:
+        gc -= 1
+    return gc
+
+
+def _folded_encode(images: jax.Array, codec: str, strategy: int,
+                   swap: bool, interpret: bool = False) -> jax.Array:
+    """Grid-mosaic batched encode for the 4x4 block codecs:
+    (B, H, W, C) uint8 -> (B, N, block_bytes) uint8, byte-identical per
+    image to the per-image API encode. ONE pack transpose + ONE kernel
+    call for the whole batch; block words come back as uint32 so every
+    layout move runs at 32 bit."""
+    from texcomp.ops import dxt_pallas, etc_pallas
+
+    b, h, w, ch = images.shape
+    n = (h // 4) * (w // 4)
+    gc = _mosaic_cols(b, w)
+    gr = b // gc
+    if gc > 1:
+        m = images.reshape(gr, gc, h, w, ch).transpose(0, 2, 1, 3, 4)
+        m = m.reshape(gr * h, gc * w, ch)
+    else:
+        m = images.reshape(b * h, w, ch)
+    if codec == "dxt5":
+        words = dxt_pallas.pack_rgba_image(m, swap=swap)
+    else:
+        words = dxt_pallas.pack_rgb_image(m, swap=swap)
+    if codec == "dxt1":
+        wv = dxt_pallas.encode_dxt1_words(
+            words, swap=swap, interpret=interpret)  # (2, B*N)
+    elif codec == "dxt5":
+        flag = jnp.zeros((1, b * n), dtype=jnp.uint32)
+        wv = dxt_pallas.encode_dxt5_words(
+            jnp.concatenate([words, flag], axis=0), swap=swap,
+            interpret=interpret)  # (4, B*N)
+    else:
+        wv = etc_pallas.encode_etc1_words(
+            words, strategy, interpret=interpret)  # (2, B*N)
+    wpb = wv.shape[0]
+    if gc > 1:
+        # Mosaic block-row-major -> per-image row-major, on uint32 words.
+        wv = wv.reshape(wpb, gr, h // 4, gc, w // 4).transpose(
+            0, 1, 3, 2, 4)
+    return jax.lax.bitcast_convert_type(
+        wv.reshape(wpb, b, n).transpose(1, 2, 0), jnp.uint8
+    ).reshape(b, n, 4 * wpb)
+
+
 def _batch_encode(images: jax.Array, codec: str, strategy: int,
                   quality: str = "reference",
                   swap: bool = False) -> jax.Array:
@@ -119,34 +185,7 @@ def _batch_encode(images: jax.Array, codec: str, strategy: int,
         return jax.vmap(encode_pvrtc_4bpp_device)(images)
 
     if use_pallas():
-        from texcomp.ops import dxt_pallas, etc_pallas
-
-        # Fold the batch into the image Y axis BEFORE packing: a
-        # (B*H, W, C) tall image's block grid is the concatenation of the
-        # per-image grids in batch order (H % 4 == 0), so ONE pack
-        # transpose + one kernel call replaces B small ones. vmap-of-B
-        # tiny packs was 2.8x slower and 10x slower to compile on the
-        # 64^2 x1024 fleet class (docs/PERF.md round 4).
-        tall = images.reshape(b * h, w, images.shape[3])
-        if codec == "dxt5":
-            words = dxt_pallas.pack_rgba_image(tall, swap=swap)
-        else:
-            words = dxt_pallas.pack_rgb_image(tall, swap=swap)
-        if codec == "dxt1":
-            out = dxt_pallas.encode_dxt1_packed(words, swap=swap)  # (8, B*N)
-        elif codec == "dxt5":
-            flag = jnp.zeros((1, b * n), dtype=jnp.uint32)
-            out = dxt_pallas.encode_dxt5_packed(
-                jnp.concatenate([words, flag], axis=0), swap=swap)
-        else:
-            # ETC emits (2, B*N) uint32 LE words: transpose at 32 bit and
-            # bitcast, instead of relaying out (8, B*N) uint8 (~100x).
-            ws = etc_pallas.encode_etc1_words(words, strategy)
-            return jax.lax.bitcast_convert_type(
-                ws.reshape(2, b, n).transpose(1, 2, 0), jnp.uint8
-            ).reshape(b, n, 8)
-        bs = out.shape[0]
-        return out.reshape(bs, b, n).transpose(1, 2, 0)
+        return _folded_encode(images, codec, strategy, swap)
 
     # CPU fallback: jnp reference kernels.
     from texcomp.codecs import dxt, etc

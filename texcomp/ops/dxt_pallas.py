@@ -235,25 +235,23 @@ def _unpack_channels(words, n: int):
     return out
 
 
-def _dxt1_bytes_out(c0, c1, rows):
-    return jnp.concatenate(
-        [c0 & 255, c0 >> 8, c1 & 255, c1 >> 8, *rows], axis=0
-    ).astype(jnp.uint8)
-
-
 def _dxt1_kernel(lut_t_ref, px_ref, out_ref, *, always4, swap):
+    # Emits the block as TWO little-endian uint32 words (color pair,
+    # index rows) instead of 8 uint8 sublane rows: downstream
+    # (words -> per-block bytes) layout moves then run at 32 bit, where
+    # the equivalent 8-bit relayouts are ~100x slower (CLAUDE.md).
     r, g, b = _unpack_channels(px_ref[:], 3)
     is_const, blo, c0, c1, rows = _dxt1_general(r, g, b)
-    out_ref[:] = _dxt1_bytes_out(c0, c1, rows)
+    out_ref[:] = _dxt1_words_out(c0, c1, rows)
 
     # The const-color LUT path runs only when some block in this tile has
     # colliding quantized endpoints (bit-exact: the merge overwrites the
-    # general bytes exactly where is_const).
+    # general words exactly where is_const).
     @pl.when(jnp.any(is_const))
     def _const_path():
         mc0, mc1, mrows = _dxt1_const_merge(
             lut_t_ref, is_const, blo, c0, c1, rows, always4, swap)
-        out_ref[:] = _dxt1_bytes_out(mc0, mc1, mrows)
+        out_ref[:] = _dxt1_words_out(mc0, mc1, mrows)
 
 
 def _alpha_codes(a):
@@ -322,14 +320,12 @@ def _dxt5_kernel(lut_t_ref, px_ref, out_ref, *, swap):
     is_const, blo, c0, c1, rows = _dxt1_general(r[:16], g[:16], b[:16])
 
     def emit(c0, c1, rows):
-        out = jnp.concatenate(
-            [a0, a1,
-             half0 & 255, (half0 >> 8) & 255, (half0 >> 16) & 255,
-             half1 & 255, (half1 >> 8) & 255, (half1 >> 16) & 255,
-             c0 & 255, c0 >> 8, c1 & 255, c1 >> 8, *rows],
-            axis=0,
-        )
-        return out.astype(jnp.uint8)
+        # FOUR little-endian uint32 words (alpha pair + low codes, high
+        # codes, color pair, index rows); see _dxt1_kernel on why words.
+        w0 = (a0 | (a1 << 8) | ((half0 & 0xFFFF) << 16)).astype(_U32)
+        w1 = ((half0 >> 16) | (half1 << 8)).astype(_U32)
+        return jnp.concatenate([w0, w1, _dxt1_words_out(c0, c1, rows)],
+                               axis=0)
 
     out_ref[:] = emit(c0, c1, rows)
 
@@ -358,11 +354,11 @@ def _tile_for(n: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("always4", "swap", "interpret"))
-def encode_dxt1_packed(words: jax.Array, always4: bool = False,
-                       swap: bool = False,
-                       interpret: bool = False) -> jax.Array:
-    """(16, N) uint32 packed pixels (r|g<<8|b<<16) -> (8, N) uint8 DXT1
-    block bytes."""
+def encode_dxt1_words(words: jax.Array, always4: bool = False,
+                      swap: bool = False,
+                      interpret: bool = False) -> jax.Array:
+    """(16, N) uint32 packed pixels (r|g<<8|b<<16) -> (2, N) uint32 DXT1
+    block words (little-endian: word 0 = c0|c1<<16, word 1 = index rows)."""
     n = words.shape[1]
     tile = _tile_for(n)
     words = _pad_lanes(words, tile)
@@ -375,19 +371,36 @@ def encode_dxt1_packed(words: jax.Array, always4: bool = False,
             pl.BlockSpec((16, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
+        out_specs=pl.BlockSpec((2, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, np_), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((2, np_), _U32),
         interpret=interpret,
     )(_lut_t_bf16(), words)
     return out[:, :n]
 
 
-@partial(jax.jit, static_argnames=("swap", "interpret"))
-def encode_dxt5_packed(words17: jax.Array, swap: bool = False,
+def _byte_rows(block_words: jax.Array) -> jax.Array:
+    """(W, N) uint32 LE block words -> (4W, N) uint8 byte sublane rows
+    (row k = byte k of the block). Pure shifts — NOT a relayout."""
+    rows = [((block_words[k // 4][None] >> (8 * (k % 4))) & 255)
+            for k in range(4 * block_words.shape[0])]
+    return jnp.concatenate(rows, axis=0).astype(jnp.uint8)
+
+
+def encode_dxt1_packed(words: jax.Array, always4: bool = False,
+                       swap: bool = False,
                        interpret: bool = False) -> jax.Array:
+    """(16, N) uint32 packed pixels (r|g<<8|b<<16) -> (8, N) uint8 DXT1
+    block bytes (byte-row view of encode_dxt1_words)."""
+    return _byte_rows(encode_dxt1_words(words, always4=always4, swap=swap,
+                                        interpret=interpret))
+
+
+@partial(jax.jit, static_argnames=("swap", "interpret"))
+def encode_dxt5_words(words17: jax.Array, swap: bool = False,
+                      interpret: bool = False) -> jax.Array:
     """(17, N) uint32 packed RGBA pixels + has_one_pixel flag row ->
-    (16, N) uint8 DXT5 block bytes."""
+    (4, N) uint32 DXT5 block words (little-endian)."""
     n = words17.shape[1]
     tile = _tile_for(n)
     words17 = _pad_lanes(words17, tile)
@@ -400,12 +413,21 @@ def encode_dxt5_packed(words17: jax.Array, swap: bool = False,
             pl.BlockSpec((17, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((16, tile), lambda i: (0, i),
+        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((16, np_), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((4, np_), _U32),
         interpret=interpret,
     )(_lut_t_bf16(), words17)
     return out[:, :n]
+
+
+@partial(jax.jit, static_argnames=("swap", "interpret"))
+def encode_dxt5_packed(words17: jax.Array, swap: bool = False,
+                       interpret: bool = False) -> jax.Array:
+    """(17, N) uint32 packed RGBA pixels + has_one_pixel flag row ->
+    (16, N) uint8 DXT5 block bytes (byte-row view of encode_dxt5_words)."""
+    return _byte_rows(encode_dxt5_words(words17, swap=swap,
+                                        interpret=interpret))
 
 
 # ---------------------------------------------------------------------------
@@ -468,11 +490,11 @@ def dxtc_encode_padded_image(image: jax.Array, outside: jax.Array,
     )
     if is_dxt1:
         words = pack_rgb_image(image, swap)
-        return encode_dxt1_packed(words, swap=swap).T
+        return words_to_blocks(encode_dxt1_words(words, swap=swap))
     words = pack_rgba_image(image, swap)
     flag = outside.astype(jnp.uint32)[None, :]
-    return encode_dxt5_packed(jnp.concatenate([words, flag], axis=0),
-                              swap=swap).T
+    return words_to_blocks(encode_dxt5_words(
+        jnp.concatenate([words, flag], axis=0), swap=swap))
 
 
 # ---------------------------------------------------------------------------
@@ -678,7 +700,7 @@ def dxt5_decode_image(data: jax.Array, *, height: int, width: int,
 def dxt1_encode_image(image: jax.Array, interpret: bool = False) -> jax.Array:
     """(H, W, 3) uint8 (H, W multiples of 4) -> (N, 8) uint8 DXT1 blocks."""
     words = pack_rgb_image(image)
-    return encode_dxt1_packed(words, interpret=interpret).T
+    return words_to_blocks(encode_dxt1_words(words, interpret=interpret))
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -686,8 +708,8 @@ def dxt5_encode_image(image: jax.Array, interpret: bool = False) -> jax.Array:
     """(H, W, 4) uint8 -> (N, 16) uint8 DXT5 blocks (all blocks inside)."""
     words = pack_rgba_image(image)
     flag = jnp.zeros((1, words.shape[1]), dtype=jnp.uint32)
-    return encode_dxt5_packed(jnp.concatenate([words, flag], axis=0),
-                              interpret=interpret).T
+    return words_to_blocks(encode_dxt5_words(
+        jnp.concatenate([words, flag], axis=0), interpret=interpret))
 
 
 # ---------------------------------------------------------------------------
