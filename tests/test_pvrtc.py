@@ -189,15 +189,17 @@ def test_zorder_words_matches_gather(nbx, nby, rng):
     np.testing.assert_array_equal(got, words[:, perm])
 
 
-@pytest.mark.parametrize("size,batch", [(8, 5), (16, 4), (64, 3), (256, 2)])
+@pytest.mark.parametrize("size,batch", [(8, 5), (16, 4), (64, 3), (256, 2),
+                                        (256, 12), (512, 6)])
 def test_batched_pipeline_parity(size, batch, rng):
     """The lane-folded fleet encoder (ops/pvrtc_fast
     encode_pvrtc_2bpp_batched) is byte-identical per image to the
     single-image fast pipeline for every Z-order regime: gather fallback
     (8^2, 16^2), small-grid one-hot matmul (64^2), and the MXU-tiled path
-    (256^2). Content mixes noise with structured gradients so the morph,
-    wrap-roll variants, and per-lane global-pixel-(0,0) fallback all see
-    distinct per-image data."""
+    (256^2). (256, 12) and (512, 6) exercise true (gr>1, gc>1) mosaic
+    grids in the folded pack. Content mixes noise with structured
+    gradients so the morph, wrap-roll variants, and per-lane
+    global-pixel-(0,0) fallback all see distinct per-image data."""
     import jax.numpy as jnp
 
     from texcomp.ops import pvrtc_fast

@@ -686,26 +686,30 @@ def encode_pvrtc_2bpp_fast(image: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _make_var_words_batched(low_words, b: int, nby: int, nbx: int):
-    """Batched _make_var_words: (1, B*NB) -> (9, B*NB), wraps per image."""
-    low = low_words.reshape(b, nby, nbx)
+def _make_var_words_batched(low_words, gr: int, nby: int, gc: int,
+                            nbx: int):
+    """Batched _make_var_words on MOSAIC lane order (gr, nby, gc, nbx):
+    (1, B*NB) -> (9, B*NB), wraps per image (roll along each image's own
+    block-row/col axes). gc == 1 is the plain image-major batch."""
+    low = low_words.reshape(gr, nby, gc, nbx)
     rows = {0: low, 1: jnp.roll(low, 1, axis=1),
             -1: jnp.roll(low, -1, axis=1)}
     out = []
     for dy, dx in _VAR_DYDX:
         ry = rows[dy]
-        v = jnp.roll(ry, dx, axis=2) if dx else ry
+        v = jnp.roll(ry, dx, axis=3) if dx else ry
         out.append(v.reshape(1, -1))
     return jnp.concatenate(out, axis=0)
 
 
-def _mode_edges_batched(mod, b: int, nby: int, nbx: int):
-    """Batched _mode_edges: image-wrapped neighbor tiles per image."""
+def _mode_edges_batched(mod, gr: int, nby: int, gc: int, nbx: int):
+    """Batched _mode_edges on mosaic lane order: image-wrapped neighbor
+    tiles per image."""
     nb = mod.shape[1]
     col0 = mod[0::8]  # (4, B*NB)
-    nh_edge = jnp.roll(col0.reshape(4, b, nby, nbx), -1,
-                       axis=3).reshape(4, nb)
-    m3 = mod[0:8].reshape(8, b, nby, nbx)
+    nh_edge = jnp.roll(col0.reshape(4, gr, nby, gc, nbx), -1,
+                       axis=4).reshape(4, nb)
+    m3 = mod[0:8].reshape(8, gr, nby, gc, nbx)
     return nh_edge, jnp.roll(m3, -1, axis=2).reshape(8, nb)
 
 
@@ -788,6 +792,21 @@ def _zorder_words_batched(w2: jax.Array, b: int, nbx: int,
                     axis=2).reshape(c, b * nb)
 
 
+def _pvrtc_mosaic_cols(b: int, w: int) -> int:
+    """Images per mosaic row for the batched pack. Folding the batch into
+    the image Y axis alone makes the pack's major-dims transpose scale
+    with the tall row count, not bytes (12 ms of the 23 ms 512^2 x192
+    fleet cell); a (gr, gc) image GRID restores a ~2048-wide aspect at
+    ONE pack call. Measured (v5e, fleet cells, tall -> mosaic): 512^2
+    x192 23.2 -> ~12 ms. Stay tall at w >= 2048 (already wide)."""
+    if w >= 2048 or b == 1:
+        return 1
+    gc = max(1, min(b, 2048 // w))
+    while b % gc:
+        gc -= 1
+    return gc
+
+
 @jax.jit
 def encode_pvrtc_2bpp_batched(images: jax.Array) -> jax.Array:
     """(B, H, W, 4) uint8 same-size square power-of-two images ->
@@ -801,32 +820,46 @@ def encode_pvrtc_2bpp_batched(images: jax.Array) -> jax.Array:
     from texcomp.ops import use_pallas as _use_pallas
 
     use_pallas = _use_pallas()
-    # Tall stack: the (B*H, W) image's block grid is the per-image grids
-    # concatenated in batch order (H % BLOCK_H == 0), so ONE pack feeds
-    # all B images' blocks onto lanes.
-    words32 = barrier(_to_block_words(images.reshape(b * h, w, 4)))
-    # Per-lane global pixel (0, 0): image i's origin word is lane i*NB.
-    p00 = jnp.broadcast_to(
-        words32[0:1, ::nb].reshape(1, b, 1), (1, b, nb)
-    ).reshape(1, b * nb).astype(jnp.int32)
+    # Mosaic stack: fold the batch into a (gr, gc) image grid so ONE wide
+    # pack feeds all B images' blocks onto lanes; lanes land in mosaic
+    # order (gr, nby, gc, nbx) and every per-image stage addresses that
+    # 4D grid directly (rolls/broadcasts are per-image either way), so
+    # no lane reorder is needed until the tiny (2, N) Z-order output.
+    gc = _pvrtc_mosaic_cols(b, w)
+    gr = b // gc
+    if gc > 1:
+        m = images.reshape(gr, gc, h, w, 4).transpose(0, 2, 1, 3, 4)
+        m = m.reshape(gr * h, gc * w, 4)
+    else:
+        m = images.reshape(b * h, w, 4)
+    words32 = barrier(_to_block_words(m))
+    # Per-lane global pixel (0, 0): image (i, j)'s origin word sits at
+    # mosaic lane ((i*nby)*gc + j)*nbx.
+    w0 = words32[0:1].reshape(gr, nby, gc, nbx)
+    p00 = jnp.broadcast_to(w0[:, 0:1, :, 0:1], (gr, nby, gc, nbx)
+                           ).reshape(1, b * nb).astype(jnp.int32)
     if use_pallas and words32.shape[1] >= (1 << 20):
         ab = morph_packed_batched(words32, p00)
     else:
         ab = _morph_words(words32, p00)
     ab = barrier(ab)
-    va9 = _make_var_words_batched(ab[0:1], b, nby, nbx)
-    vb9 = _make_var_words_batched(ab[1:2], b, nby, nbx)
+    va9 = _make_var_words_batched(ab[0:1], gr, nby, gc, nbx)
+    vb9 = _make_var_words_batched(ab[1:2], gr, nby, gc, nbx)
     if use_pallas:
         mod = upscale_modulate_packed(
             words32, jnp.concatenate([va9, vb9], axis=0))
     else:
         mod = _upscale_modulate_body(words32, va9, vb9)
     mod = barrier(mod)
-    nh_edge, nv_edge = _mode_edges_batched(mod, b, nby, nbx)
+    nh_edge, nv_edge = _mode_edges_batched(mod, gr, nby, gc, nbx)
     if use_pallas:
         words = modes_pack_colors_packed(mod, nh_edge, nv_edge, ab)
     else:
         words = _modes_pack_colors_body(mod, nh_edge, nv_edge, ab)
+    if gc > 1:
+        # Mosaic -> image-major lane order, on the (2, N) uint32 words.
+        words = words.reshape(2, gr, nby, gc, nbx).transpose(
+            0, 1, 3, 2, 4).reshape(2, b * nb)
     zw = _zorder_words_batched(words, b, nbx, nby)
     both = jnp.stack([zw[0].reshape(b, nb), zw[1].reshape(b, nb)], axis=-1)
     return jax.lax.bitcast_convert_type(both, jnp.uint8).reshape(b, nb, 8)
