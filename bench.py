@@ -109,10 +109,15 @@ def bench_etc1_encode(h: int = 4096, w: int = 4096) -> float:
 
 
 def bench_pvrtc_encode(h: int = 2048, w: int = 2048) -> float:
+    """iters=48: the ~1 ms 2048^2 op sits inside the per-scan-iteration
+    floor at the default scan length — r03 recorded a floor-inflated
+    8.3 Gpix/s here while a 48-iteration scan and a 32-image sequential
+    loop both converge on the honest per-image cost (PERF.md round 4,
+    tools/profile_pvrtc_single_vs_batched.py)."""
     from texcomp.ops import pvrtc_encode_image_op
 
     dt = _time_op(lambda w32: pvrtc_encode_image_op(_words_to_image(w32)),
-                  _rand_image_words(h, w))
+                  _rand_image_words(h, w), iters=48)
     return (h * w) / dt / 1e6
 
 
@@ -285,10 +290,18 @@ def bench_pipeline_fleet() -> float:
     total_dt = 0.0
     total_pix = 0
     for codec, ch in _FLEET_CODECS:
-        batches = tuple(
-            jax.device_put(rng.integers(0, 256, (count, size, size, ch),
-                                        dtype=np.uint8))
-            for size, count in _FLEET_DIST)
+        def _put(size, count, ch=ch):
+            arr = rng.integers(0, 256, (count, size, size, ch),
+                               dtype=np.uint8)
+            if ch == 4:
+                # 4-channel sources ship as packed u32 words (free host
+                # view) like the real pipeline: the device-side u8->u32
+                # bitcast is a ~4 ms/134 Mpix relayout
+                # (tools/profile_pvrtc_input_layout.py).
+                arr = arr.view(np.uint32).reshape(count, size, size)
+            return jax.device_put(arr)
+
+        batches = tuple(_put(size, count) for size, count in _FLEET_DIST)
 
         def op(xs, codec=codec):
             outs = [_batch_encode(x, codec, 2) for x in xs]

@@ -556,6 +556,13 @@ def test_folded_encode_mosaic_parity(codec, ch, b, hw, rng):
     for swap in (False, True) if codec != "etc1" else (False,):
         out = np.asarray(_folded_encode(jnp.asarray(imgs), codec, 2, swap,
                                         interpret=True))
+        if ch == 4:
+            # The packed-u32-words input form (the fleet upload path) is
+            # byte-identical, including the word-level BGRA swap.
+            w32 = jnp.asarray(imgs.view(np.uint32).reshape(imgs.shape[:3]))
+            out_w = np.asarray(_folded_encode(w32, codec, 2, swap,
+                                              interpret=True))
+            np.testing.assert_array_equal(out_w, out)
         for i in range(0, b, max(1, b // 4)):
             blk = image_to_blocks(jnp.asarray(imgs[i]))
             if swap:

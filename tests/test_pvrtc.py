@@ -210,6 +210,10 @@ def test_batched_pipeline_parity(size, batch, rng):
          for i in range(batch)])
     out = np.asarray(
         pvrtc_fast.encode_pvrtc_2bpp_batched(jnp.asarray(imgs)))
+    # The packed-u32-words entry (the fleet upload form) is identical.
+    out_w = np.asarray(pvrtc_fast.encode_pvrtc_2bpp_batched_words(
+        jnp.asarray(imgs.view(np.uint32).reshape(imgs.shape[:3]))))
+    np.testing.assert_array_equal(out_w, out)
     for i in range(batch):
         ref = np.asarray(
             pvrtc_fast.encode_pvrtc_2bpp_fast(jnp.asarray(imgs[i])))

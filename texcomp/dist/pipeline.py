@@ -114,28 +114,52 @@ def _mosaic_cols(b: int, w: int) -> int:
     return gc
 
 
+def _swap_rb_words(px: jax.Array) -> jax.Array:
+    """Byte-swap lanes 0<->2 of packed pixel words: BGRA bytes -> the
+    standard RGBA word (what pack_rgba_image(swap=True) builds from u8
+    planes), 3 word ops instead of 8 u8-plane ops."""
+    return ((px & jnp.uint32(0xFF00FF00))
+            | ((px & jnp.uint32(0xFF)) << 16)
+            | ((px >> 16) & jnp.uint32(0xFF)))
+
+
 def _folded_encode(images: jax.Array, codec: str, strategy: int,
                    swap: bool, interpret: bool = False) -> jax.Array:
     """Grid-mosaic batched encode for the 4x4 block codecs:
-    (B, H, W, C) uint8 -> (B, N, block_bytes) uint8, byte-identical per
+    (B, H, W, C) uint8 — or, for 4-channel sources, (B, H, W) uint32
+    packed pixel words — -> (B, N, block_bytes) uint8, byte-identical per
     image to the per-image API encode. ONE pack transpose + ONE kernel
     call for the whole batch; block words come back as uint32 so every
-    layout move runs at 32 bit."""
+    layout move runs at 32 bit. The words form skips the device-side
+    u8 -> u32 bitcast relayout (~4 ms / 134 Mpix — see
+    ops/pvrtc_fast._to_block_words) and runs the mosaic fold at 32 bit."""
     from texcomp.ops import dxt_pallas, etc_pallas
 
-    b, h, w, ch = images.shape
+    words_in = images.ndim == 3  # (B, H, W) uint32 packed RGBA
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
     n = (h // 4) * (w // 4)
     gc = _mosaic_cols(b, w)
     gr = b // gc
-    if gc > 1:
+    if words_in:
+        if gc > 1:
+            m = images.reshape(gr, gc, h, w).transpose(0, 2, 1, 3)
+            m = m.reshape(gr * h, gc * w)
+        else:
+            m = images.reshape(b * h, w)
+        if swap:
+            m = _swap_rb_words(m)
+        words = dxt_pallas._block_transpose_u32(m)
+    elif gc > 1:
+        ch = images.shape[3]
         m = images.reshape(gr, gc, h, w, ch).transpose(0, 2, 1, 3, 4)
         m = m.reshape(gr * h, gc * w, ch)
     else:
-        m = images.reshape(b * h, w, ch)
-    if codec == "dxt5":
-        words = dxt_pallas.pack_rgba_image(m, swap=swap)
-    else:
-        words = dxt_pallas.pack_rgb_image(m, swap=swap)
+        m = images.reshape(b * h, w, images.shape[3])
+    if not words_in:
+        if codec == "dxt5":
+            words = dxt_pallas.pack_rgba_image(m, swap=swap)
+        else:
+            words = dxt_pallas.pack_rgb_image(m, swap=swap)
     if codec == "dxt1":
         wv = dxt_pallas.encode_dxt1_words(
             words, swap=swap, interpret=interpret)  # (2, B*N)
@@ -160,28 +184,37 @@ def _folded_encode(images: jax.Array, codec: str, strategy: int,
 def _batch_encode(images: jax.Array, codec: str, strategy: int,
                   quality: str = "reference",
                   swap: bool = False) -> jax.Array:
-    """(B, H, W, C) uint8 -> (B, num_blocks, block_bytes) uint8.
+    """(B, H, W, C) uint8 — or (B, H, W) uint32 packed 4-channel pixel
+    words — -> (B, num_blocks, block_bytes) uint8.
 
     ``swap``: input channels are BGR/BGRA; bytes match the per-asset API
     with the swapped format, including the const-path double-swap quirk
     (dxtc_compressor.cc:360)."""
     from texcomp.ops import use_pallas
 
+    words_in = images.ndim == 3
     b, h, w = images.shape[0], images.shape[1], images.shape[2]
     n = (h // 4) * (w // 4)
 
     if quality == "high":
+        if words_in:
+            images = jax.lax.bitcast_convert_type(images, jnp.uint8)
         return _batch_encode_hq(images, codec, swap)
 
     if codec == "pvrtc":
         # Lane-folded batch encode: vmap over the whole pipeline was
         # 2-4x slower per pixel on the fleet distribution (PERF.md r4).
-        from texcomp.ops.pvrtc_fast import encode_pvrtc_2bpp_batched
+        from texcomp.ops.pvrtc_fast import (encode_pvrtc_2bpp_batched,
+                                            encode_pvrtc_2bpp_batched_words)
 
+        if words_in:
+            return encode_pvrtc_2bpp_batched_words(images)
         return encode_pvrtc_2bpp_batched(images)
     if codec == "pvrtc4":
         from texcomp.codecs.pvrtc4 import encode_pvrtc_4bpp_device
 
+        if words_in:
+            images = jax.lax.bitcast_convert_type(images, jnp.uint8)
         return jax.vmap(encode_pvrtc_4bpp_device)(images)
 
     if use_pallas():
@@ -190,6 +223,8 @@ def _batch_encode(images: jax.Array, codec: str, strategy: int,
     # CPU fallback: jnp reference kernels.
     from texcomp.codecs import dxt, etc
 
+    if words_in:
+        images = jax.lax.bitcast_convert_type(images, jnp.uint8)
     blocks = jax.vmap(image_to_blocks)(images)
     if swap:
         blocks = jnp.concatenate(
@@ -328,6 +363,15 @@ class AssetPipeline:
         pad = (-b) % self.ndev
         if pad:
             images = np.concatenate([images, images[:1].repeat(pad, 0)], 0)
+        if (images.ndim == 4 and images.shape[-1] == 4
+                and images.dtype == np.uint8):
+            # Upload 4-channel sources as packed u32 pixel words (a free
+            # host view): the device-side u8 -> u32 bitcast is a tiled-
+            # layout relayout costing ~4 ms / 134 Mpix
+            # (tools/profile_pvrtc_input_layout.py); the word form also
+            # runs the mosaic fold and any channel swap at 32 bit.
+            images = np.ascontiguousarray(images).view(np.uint32).reshape(
+                images.shape[:3])
         return self._sharded_encode(
             codec, strategy, quality,
             swap=needs_red_and_blue_swapped(fmt))(jnp.asarray(images))

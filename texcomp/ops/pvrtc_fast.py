@@ -104,14 +104,24 @@ def _zorder_words(w2: jax.Array, nbx: int, nby: int) -> jax.Array:
     return out.reshape(c, n)
 
 
-def _to_block_words(image: jax.Array) -> jax.Array:
-    """(H, W, 4) uint8 -> (32, NB) uint32 packed pixels, sublane =
+def _px_block_words(px: jax.Array) -> jax.Array:
+    """(H, W) uint32 packed pixels -> (32, NB) uint32, sublane =
     py*8+px, lanes in row-major block order."""
-    h, w = image.shape[0], image.shape[1]
-    px = jax.lax.bitcast_convert_type(image, jnp.uint32)  # (H, W)
+    h, w = px.shape[0], px.shape[1]
     t = px.reshape(h // BLOCK_H, BLOCK_H, w).transpose(1, 0, 2)
     t = t.reshape(BLOCK_H, h // BLOCK_H, w // BLOCK_W, BLOCK_W)
     return t.transpose(0, 3, 1, 2).reshape(32, -1)  # (py*8+px, NB)
+
+
+def _to_block_words(image: jax.Array) -> jax.Array:
+    """(H, W, 4) uint8 -> (32, NB) uint32 packed pixels.
+
+    NOTE: the u8 -> u32 bitcast is NOT free on TPU — XLA relayouts the
+    (8, 128)-tiled u8 minor pair into u32 tiles (~4 ms per 134 Mpix,
+    measured tools/profile_pvrtc_input_layout.py). Callers that hold the
+    RGBA bytes on host should upload them as u32 words (a free numpy
+    .view) and call _px_block_words directly."""
+    return _px_block_words(jax.lax.bitcast_convert_type(image, jnp.uint32))
 
 
 def _unpack4(words: jax.Array):
@@ -300,64 +310,109 @@ def _make_var_words(low_words, nby: int, nbx: int,
     return jnp.concatenate(out, axis=0)
 
 
-def _upscale_from_vars(v9):
-    """Bilinear wrap upscale from packed variants: (9, T) u32 -> 4 channel
-    planes (32, T) int32.
+def _upscale_weights(nrows: int = 16) -> jax.Array:
+    """(32, nrows) bf16 bilinear weight matrix W such that
+    up_ch = floor((W @ var_ch) / 32) is the 2BPP bilinear wrap upscale
+    (GetInterpolatedColor2BPP, pvrtc_compressor.cc:208-237: for in-block
+    (py, px), left block = bx-1 iff px < 4, top block = by-1 iff py < 2,
+    x weight = (px+4) & 7, y weight = (py+2) & 3): for each in-block
+    position s the 4 static corners' var-row indices and integer
+    weights land in W[s, :9] (columns >= 9
+    stay zero). Built from iotas so it is Mosaic-legal inside a kernel
+    (captured array constants are not). Exactness: var_ch <= 255 and
+    weights <= 32 are both exact in bf16; every product (<= 8160) and
+    the <= 4-term accumulation (<= 8160 total — the weights sum to 32)
+    are exact in the MXU's f32 accumulator."""
+    s = jax.lax.broadcasted_iota(jnp.int32, (32, nrows), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (32, nrows), 1)
+    py, px = s >> 3, s & 7
+    lp, tp = px < 4, py < 2
+    xw, yw = (px + 4) & 7, (py + 2) & 3
+    dy_top = jnp.where(tp, 1, 0)      # corner rows use dy in {1,0} on the
+    dy_bot = jnp.where(tp, 0, -1)     # top pair, {0,-1} on the bottom pair
+    dx_l = jnp.where(lp, 1, 0)
+    dx_r = jnp.where(lp, 0, -1)
+    corners = (
+        ((BLOCK_H - yw) * (BLOCK_W - xw), dy_top, dx_l),
+        ((BLOCK_H - yw) * xw, dy_top, dx_r),
+        (yw * (BLOCK_W - xw), dy_bot, dx_l),
+        (yw * xw, dy_bot, dx_r),
+    )
+    w = jnp.zeros((32, nrows), jnp.int32)
+    for wt, dy, dx in corners:
+        # _VAR_DYDX order: index = 3*(1-dy) + (1-dx).
+        w = w + jnp.where(r == 3 * (1 - dy) + (1 - dx), wt, 0)
+    return w.astype(jnp.bfloat16)
 
-    For in-block position (py, px) the 2x2 source corners and weights are
-    static (GetInterpolatedColor2BPP, pvrtc_compressor.cc:208-237):
-    left block = bx-1 iff px < 4, top block = by-1 iff py < 2;
-    x weight = (px+4) & 7, y weight = (py+2) & 3."""
-    var = {k: v9[i : i + 1] for i, k in enumerate(_VAR_DYDX)}
-    s = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
-    py = s >> 3
-    px = s & 7
-    left_is_prev = px < 4   # use bx-1 as "left"
-    top_is_prev = py < 2    # use by-1 as "top"
-    xw = (px + 4) & 7
-    yw = (py + 2) & 3
 
-    # c00 = (top, left); c01 = (top, right); c10 = (bottom, left);
-    # c11 = (bottom, right). "right" = left+1: prev-left -> current (0);
-    # not-prev-left -> next (-1 roll). Same for bottom. Nested selects: the
-    # quadrant masks partition, so 3 wheres per corner beat the 4-masked-add
-    # formulation ~4x. Selects run on PACKED words (one per corner instead
-    # of four per-channel).
-    def corner2(dy_pair, dx_pair):
-        dy_t, dy_b = dy_pair  # (dy if prev, dy if not prev)
-        dx_l, dx_r = dx_pair
-        top = jnp.where(left_is_prev, var[(dy_t, dx_l)], var[(dy_t, dx_r)])
-        bot = jnp.where(left_is_prev, var[(dy_b, dx_l)], var[(dy_b, dx_r)])
-        return jnp.where(top_is_prev, top, bot)
-
-    corners = [corner2((1, 0), (1, 0)), corner2((1, 0), (0, -1)),
-               corner2((0, -1), (1, 0)), corner2((0, -1), (0, -1))]
-
-    wa = (BLOCK_H - yw) * (BLOCK_W - xw)
-    wb = (BLOCK_H - yw) * xw
-    wc = yw * (BLOCK_W - xw)
-    wd = yw * xw
-    chans = []
+def _upscale_mm(v16, wmat):
+    """Bilinear upscale as 4 one-hot-weighted MXU matmuls: (16, T) u32
+    packed variants (rows 0-8 live, rest ignored via zero W columns) ->
+    4 f32 channel planes (32, T) of exact integers 0-255."""
+    outs = []
     for sh in (0, 8, 16, 24):
-        cc = [(c.astype(jnp.int32) >> sh) & 255 for c in corners]
-        # >> 5 == // 32 on the nonneg weighted sum (no idiv; CLAUDE.md).
-        chans.append((wa * cc[0] + wb * cc[1] + wc * cc[2] + wd * cc[3])
-                     >> 5)
-    return chans
+        # Two-step cast: Mosaic has no u32 -> bf16 (values are <= 255).
+        ch = ((v16 >> jnp.uint32(sh)) & jnp.uint32(255)).astype(
+            jnp.int32).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            wmat, ch, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        outs.append(jnp.floor(acc * (1.0 / 32.0)))
+    return outs
+
+
+def _modulate_planes_f32(planes_f, a_up, b_up):
+    """BestModulation on f32 planes of exact small ints (everything
+    here is < 2^13, so f32 compare/select semantics are identical to the
+    int form, and *0.125 + floor is an exact >>3)."""
+    diff0 = sum(jnp.abs(p - c) for p, c in zip(planes_f, a_up))
+    best = jnp.zeros_like(diff0)
+    best_diff = diff0
+    alive = jnp.ones_like(diff0, dtype=bool)
+    for mod, (s0, s1) in ((1, (5, 3)), (2, (3, 5)), (3, (0, 8))):
+        if (s0, s1) == (0, 8):
+            cand = b_up  # (0*a + 8*b)//8 == b exactly
+        else:
+            cand = [jnp.floor((s0 * a + s1 * b) * 0.125)
+                    for a, b in zip(a_up, b_up)]
+        diff = sum(jnp.abs(p - c) for p, c in zip(planes_f, cand))
+        take = alive & (diff < best_diff)
+        best = jnp.where(take, float(mod), best)
+        best_diff = jnp.where(take, diff, best_diff)
+        alive = take
+    return best.astype(jnp.int32)  # (32, NB)
+
+
+def _upscale_modulate_16(words, va16, vb16):
+    """Shared body on 16-row padded variants: (32, T) packed pixels +
+    2x(16, T) -> (32, T) int32 modulation. The bilinear upscale runs as
+    8 MXU matmuls (see _upscale_weights) instead of ~12 packed-word
+    select chains + 28 VPU weighted-sum ops; the modulation search runs
+    in f32 (exact for these ranges), saving the per-channel int
+    converts."""
+    wmat = _upscale_weights(16)
+    a_up = _upscale_mm(va16, wmat)
+    b_up = _upscale_mm(vb16, wmat)
+    planes_f = [((words >> jnp.uint32(sh)) & jnp.uint32(255)).astype(
+        jnp.int32).astype(jnp.float32) for sh in (0, 8, 16, 24)]
+    return _modulate_planes_f32(planes_f, a_up, b_up)
+
+
+def _pad16(v9):
+    return jnp.concatenate(
+        [v9, jnp.zeros((16 - v9.shape[0], v9.shape[1]), v9.dtype)], axis=0)
 
 
 def _upscale_modulate_body(words, va9, vb9):
     """(32, T) packed pixels + 2x(9, T) packed low-res variants -> (32, T)
     int32 modulation. Lane-local (all wrap addressing lives in the
     variants) — shared by the XLA path and the Pallas kernel."""
-    a_up = _upscale_from_vars(va9)
-    b_up = _upscale_from_vars(vb9)
-    return _modulate_planes(_unpack4(words), a_up, b_up)
+    return _upscale_modulate_16(words, _pad16(va9), _pad16(vb9))
 
 
 def _upmod_kernel(words_ref, vab_ref, out_ref):
-    out_ref[:] = _upscale_modulate_body(
-        words_ref[:], vab_ref[0:9], vab_ref[9:18])
+    out_ref[:] = _upscale_modulate_16(
+        words_ref[:], vab_ref[0:16], vab_ref[16:32])
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -369,11 +424,14 @@ def upscale_modulate_packed(words32: jax.Array, vab: jax.Array,
     The XLA form of these stages materializes O(10) full-size (32, NB)
     int32 intermediates per barrier once its fusion working set spills
     (~25x over the HBM bound at 8192²); the grid bounds every
-    intermediate to one (32, tile) VMEM block."""
+    intermediate to one (32, tile) VMEM block. The 18-row vab operand is
+    re-laid to 32 rows (9 + 7 zeros, x2) so the kernel's sublane slices
+    stay 8-aligned."""
     n = words32.shape[1]
     tile = _tile_for(n)
+    vab32 = jnp.concatenate([_pad16(vab[0:9]), _pad16(vab[9:18])], axis=0)
     words32 = _pad_lanes(words32, tile)
-    vab = _pad_lanes(vab, tile)
+    vab32 = _pad_lanes(vab32, tile)
     np_ = words32.shape[1]
     out = pl.pallas_call(
         _upmod_kernel,
@@ -381,14 +439,14 @@ def upscale_modulate_packed(words32: jax.Array, vab: jax.Array,
         in_specs=[
             pl.BlockSpec((32, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((18, tile), lambda i: (0, i),
+            pl.BlockSpec((32, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((32, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((32, np_), jnp.int32),
         interpret=interpret,
-    )(words32, vab)
+    )(words32, vab32)
     return out[:, :n]
 
 
@@ -812,7 +870,18 @@ def encode_pvrtc_2bpp_batched(images: jax.Array) -> jax.Array:
     """(B, H, W, 4) uint8 same-size square power-of-two images ->
     (B, NB, 8) uint8 Z-order PVRTC records; each image's payload is
     byte-identical to encode_pvrtc_2bpp_fast(images[i])."""
-    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+    return encode_pvrtc_2bpp_batched_words(
+        jax.lax.bitcast_convert_type(images, jnp.uint32))
+
+
+@jax.jit
+def encode_pvrtc_2bpp_batched_words(px: jax.Array) -> jax.Array:
+    """(B, H, W) uint32 packed RGBA pixel words -> (B, NB, 8) uint8.
+
+    The words form is the fast fleet entry: uploading host RGBA bytes as
+    u32 (a free numpy .view) skips the device-side u8 -> u32 bitcast
+    relayout (~4 ms / 134 Mpix, tools/profile_pvrtc_input_layout.py)."""
+    b, h, w = px.shape[0], px.shape[1], px.shape[2]
     nby, nbx = h // BLOCK_H, w // BLOCK_W
     nb = nby * nbx
     barrier = jax.lax.optimization_barrier
@@ -828,11 +897,11 @@ def encode_pvrtc_2bpp_batched(images: jax.Array) -> jax.Array:
     gc = _pvrtc_mosaic_cols(b, w)
     gr = b // gc
     if gc > 1:
-        m = images.reshape(gr, gc, h, w, 4).transpose(0, 2, 1, 3, 4)
-        m = m.reshape(gr * h, gc * w, 4)
+        m = px.reshape(gr, gc, h, w).transpose(0, 2, 1, 3)
+        m = m.reshape(gr * h, gc * w)
     else:
-        m = images.reshape(b * h, w, 4)
-    words32 = barrier(_to_block_words(m))
+        m = px.reshape(b * h, w)
+    words32 = barrier(_px_block_words(m))
     # Per-lane global pixel (0, 0): image (i, j)'s origin word sits at
     # mosaic lane ((i*nby)*gc + j)*nbx.
     w0 = words32[0:1].reshape(gr, nby, gc, nbx)

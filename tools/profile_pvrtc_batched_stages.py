@@ -41,14 +41,23 @@ def main() -> int:
     use_pallas = True
     barrier = jax.lax.optimization_barrier
 
+    gc = pf._pvrtc_mosaic_cols(b, w)
+    gr = b // gc
+    print(f"mosaic grid: gr={gr} gc={gc}", flush=True)
+
     def upto(stage):
         def op(images):
-            words32 = barrier(pf._to_block_words(images.reshape(b * h, w, 4)))
+            if gc > 1:
+                m = images.reshape(gr, gc, h, w, 4).transpose(0, 2, 1, 3, 4)
+                m = m.reshape(gr * h, gc * w, 4)
+            else:
+                m = images.reshape(b * h, w, 4)
+            words32 = barrier(pf._to_block_words(m))
             if stage == "pack":
                 return words32.sum()[None]
-            p00 = jnp.broadcast_to(
-                words32[0:1, ::nb].reshape(1, b, 1), (1, b, nb)
-            ).reshape(1, b * nb).astype(jnp.int32)
+            w0 = words32[0:1].reshape(gr, nby, gc, nbx)
+            p00 = jnp.broadcast_to(w0[:, 0:1, :, 0:1], (gr, nby, gc, nbx)
+                                   ).reshape(1, b * nb).astype(jnp.int32)
             if use_pallas and words32.shape[1] >= (1 << 20):
                 ab = pf.morph_packed_batched(words32, p00)
             else:
@@ -56,8 +65,8 @@ def main() -> int:
             ab = barrier(ab)
             if stage == "morph":
                 return ab.sum()[None]
-            va9 = pf._make_var_words_batched(ab[0:1], b, nby, nbx)
-            vb9 = pf._make_var_words_batched(ab[1:2], b, nby, nbx)
+            va9 = pf._make_var_words_batched(ab[0:1], gr, nby, gc, nbx)
+            vb9 = pf._make_var_words_batched(ab[1:2], gr, nby, gc, nbx)
             if stage == "varwords":
                 return (va9.sum() + vb9.sum())[None]
             if use_pallas:
@@ -68,7 +77,7 @@ def main() -> int:
             mod = barrier(mod)
             if stage == "modulate":
                 return mod.sum()[None]
-            nh_edge, nv_edge = pf._mode_edges_batched(mod, b, nby, nbx)
+            nh_edge, nv_edge = pf._mode_edges_batched(mod, gr, nby, gc, nbx)
             if stage == "edges":
                 return (nh_edge.sum() + nv_edge.sum())[None]
             if use_pallas:
@@ -76,6 +85,11 @@ def main() -> int:
             else:
                 words = pf._modes_pack_colors_body(mod, nh_edge, nv_edge, ab)
             if stage == "pack_colors":
+                return words.sum()[None]
+            if gc > 1:
+                words = words.reshape(2, gr, nby, gc, nbx).transpose(
+                    0, 1, 3, 2, 4).reshape(2, b * nb)
+            if stage == "unmosaic":
                 return words.sum()[None]
             zw = pf._zorder_words_batched(words, b, nbx, nby)
             both = jnp.stack([zw[0].reshape(b, nb), zw[1].reshape(b, nb)],
@@ -90,7 +104,7 @@ def main() -> int:
           flush=True)
     prev = 0.0
     for stage in ("pack", "morph", "varwords", "modulate", "edges",
-                  "pack_colors", "full"):
+                  "pack_colors", "unmosaic", "full"):
         dt = time_op(upto(stage), imgs, iters=iters, reps=5)
         print(f"  upto {stage:12s}: {dt*1e3:8.2f} ms "
               f"(+{(dt-prev)*1e3:7.2f})  {pix/dt/1e6:8.1f} Mpix/s",
