@@ -41,8 +41,13 @@ def main() -> int:
         print(f"== {codec} ==", flush=True)
         codec_dt, codec_pix = 0.0, 0
         for size, count in FLEET_DIST:
-            imgs = jax.device_put(rng.integers(
-                0, 256, (count, size, size, ch), dtype=np.uint8))
+            arr = rng.integers(0, 256, (count, size, size, ch),
+                               dtype=np.uint8)
+            if ch == 4:
+                # match the shipped upload path: 4-channel sources go up
+                # as packed u32 words (see bench.bench_pipeline_fleet)
+                arr = arr.view(np.uint32).reshape(count, size, size)
+            imgs = jax.device_put(arr)
 
             def op(x, codec=codec):
                 o = _batch_encode(x, codec, 2)
