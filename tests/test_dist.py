@@ -156,6 +156,13 @@ def test_pipeline_rejects_invalid_format(rng):
     with pytest.raises(ValueError, match="cannot encode"):
         p.encode_group(np.stack([make_test_image(rng, 8, 8, 4)]), "pvrtc",
                        fmt=Format.BGRA)
+    # Format.RGB is IntEnum value 0 (falsy): an explicit-but-invalid
+    # format on an asset must reach the validation, not silently coerce
+    # to the codec default (round-4 advisor finding).
+    bad = TextureAsset("bad", make_test_image(rng, 8, 8, 4), "dxt5",
+                       format=Format.RGB)
+    with pytest.raises(ValueError, match="cannot encode"):
+        p.run([bad])
 
 
 def test_quality_report_runs(rng):

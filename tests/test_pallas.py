@@ -218,6 +218,27 @@ def test_pvrtc_morph_kernel_parity(rng):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_pvrtc_morph_batched_kernel_parity(rng):
+    """morph_packed_batched (per-lane (1, N) p00 row) == _morph_words with
+    the same row — the fleet-mosaic path only takes this kernel on TPU
+    above 2^20 lanes, so interpret-mode parity here pins its plumbing
+    (round-4 advisor finding)."""
+    from texcomp.ops import pvrtc_fast as pf
+
+    n = 600
+    px = rng.integers(0, 2**32, (32, n), dtype=np.uint32)
+    px[:, 50:80] = px[:1, 50:80]
+    px[:, 200:210] = 0           # all-zero axes -> per-lane p00 fallback
+    px[:, 210:220] &= 0x00FFFFFF
+    px[:, 220:230] = 0xFF000000
+    p00 = rng.integers(0, 2**32, (1, n), dtype=np.uint32).astype(np.int32)
+    words = jnp.asarray(px)
+    p00wi = jnp.asarray(p00)
+    ref = np.asarray(pf._morph_words(words, p00wi))
+    out = np.asarray(pf.morph_packed_batched(words, p00wi, interpret=True))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_pvrtc_stage_kernels_parity(rng):
     """Pallas upscale+modulate and modes+pack kernels (interpret mode) ==
     the XLA bodies, which the full-pipeline tests hold byte-identical to

@@ -399,7 +399,8 @@ class AssetPipeline:
         reference, pvrtc_compressor.cc:669-705)."""
         groups: dict[tuple, list[int]] = {}
         for i, a in enumerate(assets):
-            fmt = getattr(a, "format", None) or _FORMATS[a.codec]
+            fmt = a.format if getattr(a, "format", None) is not None \
+                else _FORMATS[a.codec]
             key = (a.codec, a.strategy, getattr(a, "quality", "reference"),
                    fmt, a.image.shape)
             groups.setdefault(key, []).append(i)
@@ -503,7 +504,8 @@ class AssetPipeline:
             arr = np.asarray(cur)
             lh, lw = (lh + 1) // 2, (lw + 1) // 2
             for j, a in enumerate(chunk):
-                fmt = getattr(a, "format", None) or _FORMATS[codec]
+                fmt = (a.format if getattr(a, "format", None) is not None
+                       else _FORMATS[codec])
                 md = Metadata(fmt, _NAMES[codec], lh, lw,
                               4 * num_blocks(lh), 4 * num_blocks(lw), 0)
                 ci = CompressedImage()
@@ -567,7 +569,8 @@ class AssetPipeline:
                                         levels)
                 for j, a in enumerate(chunk):
                     lh, lw = h, w
-                    fmt = getattr(a, "format", None) or _FORMATS[codec]
+                    fmt = (a.format if getattr(a, "format", None) is not None
+                       else _FORMATS[codec])
                     for lvl in range(levels):
                         lh //= 2
                         lw //= 2
