@@ -122,11 +122,17 @@ def bench_pvrtc_encode(h: int = 2048, w: int = 2048) -> float:
 
 
 def bench_pvrtc4_encode(h: int = 2048, w: int = 2048) -> float:
-    """4bpp extension codec — BASELINE config 4 names PVRTC 4bpp."""
+    """4bpp extension codec — BASELINE config 4 names PVRTC 4bpp.
+
+    iters=48: the ~1.2 ms op sits inside the per-scan-iteration floor at
+    the default scan length, the same artifact class bench_pvrtc_encode
+    was floor-proofed against in round 4 (VERDICT r4 #2/#3; the r3->r4
+    5003->3559 swing was adjudicated with this treatment, PERF.md
+    "round 5 measurement")."""
     from texcomp.codecs.pvrtc4 import encode_pvrtc_4bpp_device
 
     dt = _time_op(lambda w32: encode_pvrtc_4bpp_device(_words_to_image(w32)),
-                  _rand_image_words(h, w))
+                  _rand_image_words(h, w), iters=48)
     return (h * w) / dt / 1e6
 
 
@@ -149,7 +155,9 @@ def bench_etc1_mipmap_chain(size: int = 2048,
         return jnp.concatenate([o.reshape(1, -1).astype(jnp.uint32).sum(
             axis=1, keepdims=True) for o in outs], axis=1)
 
-    dt = _time_op(op, data, iters=5)
+    # iters=48: the whole chain is ~1.3 ms — floor-proofed like
+    # bench_pvrtc_encode (VERDICT r4 #3).
+    dt = _time_op(op, data, iters=48)
     return src_pixels / dt / 1e6
 
 
@@ -216,7 +224,9 @@ def bench_mipmap_chain(size: int = 2048, interpret: bool = False) -> float:
         return jnp.concatenate([o.reshape(1, -1).astype(jnp.uint32).sum(
             axis=1, keepdims=True) for o in outs], axis=1)
 
-    dt = _time_op(op, data, iters=5)
+    # iters=48: the whole chain is ~0.7 ms — floor-proofed like
+    # bench_pvrtc_encode (VERDICT r4 #3).
+    dt = _time_op(op, data, iters=48)
     return src_pixels / dt / 1e6
 
 
@@ -236,7 +246,8 @@ def bench_transcode(h: int = 4096, w: int = 4096,
             etc_pallas.transcode_dxt1_to_etc1_packed(words,
                                                      interpret=interpret))
 
-    dt = _time_op(op, data)
+    # iters=24: ~2.4 ms op — floor-proofed (VERDICT r4 #3).
+    dt = _time_op(op, data, iters=24)
     return (h * w) / dt / 1e6
 
 

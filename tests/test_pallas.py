@@ -306,3 +306,18 @@ def test_multi_tile_grid_parity(rng):
     ref_m = np.asarray(pf._morph_words(words, p00wi))
     out_m = np.asarray(pf.morph_packed(words, p00wi, interpret=True))
     np.testing.assert_array_equal(out_m, ref_m)
+
+
+def test_etc1_hq_kernel_parity(rng):
+    """The HQ best-of-K search kernel (candidates + in-kernel refits +
+    ±1 probes, etc_pallas.etc1_hq_search) is byte-identical to the XLA
+    HQ path (codecs.etc scan_best/_refit_bases/_neighborhood_qs chain)
+    — including solid blocks (const/clamp paths) and quantization-edge
+    blocks."""
+    from texcomp.codecs import etc
+
+    rgb = _random_blocks(rng, 300, 3)
+    ref = np.asarray(etc.encode_etc1_hq_blocks(jnp.asarray(rgb)))
+    ker = np.asarray(etc._encode_etc1_hq_blocks_pallas(jnp.asarray(rgb),
+                                                       interpret=True))
+    np.testing.assert_array_equal(ref, ker)

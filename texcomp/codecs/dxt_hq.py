@@ -67,11 +67,21 @@ def _assign_codes(rgb_f, c0_16, c1_16):
     return codes, err
 
 
+def _tab4(codes, tab):
+    """tab[codes] for a 4-entry float table WITHOUT a gather: element
+    gathers cost ~10 ns/element on TPU however expressed (CLAUDE.md
+    playbook); three compare+selects are vector ops."""
+    out = jnp.full(codes.shape, float(tab[0]), jnp.float32)
+    for k in range(1, 4):
+        out = jnp.where(codes == k, float(tab[k]), out)
+    return out
+
+
 def _least_squares_endpoints(rgb_f, codes, w0_tab=None, w1_tab=None):
     """Solve min ||w0*e0 + w1*e1 - px||^2 over the block for e0, e1 given
     per-pixel weights; closed-form 2x2 normal equations per block/channel."""
-    w0 = jnp.asarray(_CODE_W0 if w0_tab is None else w0_tab)[codes]  # (N, 16)
-    w1 = jnp.asarray(_CODE_W1 if w1_tab is None else w1_tab)[codes]
+    w0 = _tab4(codes, _CODE_W0 if w0_tab is None else w0_tab)  # (N, 16)
+    w1 = _tab4(codes, _CODE_W1 if w1_tab is None else w1_tab)
     a00 = jnp.sum(w0 * w0, axis=1)
     a01 = jnp.sum(w0 * w1, axis=1)
     a11 = jnp.sum(w1 * w1, axis=1)
@@ -213,11 +223,25 @@ def _cluster_fit_chunk(rgb_f, t, topk):
     """Cluster-fit topk candidates for one chunk: ((topk, C), (topk, C))
     packed-565 endpoint arrays."""
     n = rgb_f.shape[0]
-    # Descending projection order: cluster 0 is the w0 = 1 end.
-    order = jnp.argsort(-t, axis=1)  # (C, 16)
-    sp = jnp.take_along_axis(rgb_f, order[:, :, None], axis=1)
-    p = jnp.concatenate(
-        [jnp.zeros((n, 1, 3), jnp.float32), jnp.cumsum(sp, axis=1)], axis=1
+    # Descending-projection prefix sums WITHOUT a sort: p[r] is the sum of
+    # the r largest-projection pixels, i.e. sum_i [rank_i < r] * px_i with
+    # rank_i = #{j : t_j > t_i} + #{j < i : t_j == t_i} (the stable
+    # descending rank argsort(-t) assigns). The old argsort +
+    # take_along_axis was 8.8 ms at 1024^2 — element gathers at ~10 ns
+    # each; this is (N, 16, 16) compares + 17 masked reductions, all
+    # fusable vector ops. Order of summation differs from the cumsum but
+    # every sum is integer-valued < 2^24, so f32 is exact either way.
+    ii = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 16), 1)  # pixel i
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 16), 2)  # pixel j
+    tj = t[:, None, :]
+    ti = t[:, :, None]
+    rank = jnp.sum(
+        ((tj > ti) | ((tj == ti) & (jj < ii))).astype(jnp.int32), axis=2
+    )  # (C, 16)
+    p = jnp.stack(
+        [jnp.sum(jnp.where((rank < r)[:, :, None], rgb_f, 0.0), axis=1)
+         for r in range(17)],
+        axis=1,
     )  # (C, 17, 3) prefix sums
     # Stage barriers: p feeds the score loop AND every pick; without them
     # XLA re-materializes the sort/cumsum (and the score) per consumer
@@ -369,7 +393,12 @@ def _hq_color_words(rgb):
     c1_f = jnp.where(swap, c0, c1)
     codes = jnp.where(swap[:, None], codes ^ 1, codes)
     codes = jnp.where((c0_f == c1_f)[:, None], 0, codes)
-    return c0_f, c1_f, _pack_rows(codes)
+    # best_err is the exact decoded squared-RGB error of the returned
+    # block: _assign_codes scores against the hardware palette, and the
+    # swap/equal normalizations above don't change decoded values (equal
+    # endpoints collapse the whole palette to one color in both the
+    # 4-color and 3-color decode rules).
+    return c0_f, c1_f, _pack_rows(codes), best_err
 
 
 # 3-color mode (c0 <= c1): palette [e0, e1, (e0+e1)/2, black]. Weights for
@@ -421,13 +450,23 @@ def _hq3_color_words(rgb, init_c0, init_c1):
 
     c0, c1, codes = best
     # 3-color decode requires c0 <= c1: swap + remap 0<->1 (entries 2, 3
-    # are symmetric). The c0 == c1 degenerate palette differs; the packed
-    # candidate is still valid and the caller picks by true decoded error.
+    # are symmetric). The c0 == c1 degenerate palette differs from the
+    # search palette: the decoder maps code 3 to ch1 (DecodeColors'
+    # ``equal`` rule), not black — correct best_err for those blocks so
+    # the returned error is the exact decoded error (every palette entry
+    # then decodes to e0, so the block error is just sum((e0 - px)^2)).
     swap = c0 > c1
     c0_f = jnp.where(swap, c1, c0)
     c1_f = jnp.where(swap, c0, c1)
     codes = jnp.where(swap[:, None] & (codes < 2), codes ^ 1, codes)
-    return dxt_ref._dxt1_bytes(c0_f, c1_f, _pack_rows(codes))
+    e0 = jnp.stack(
+        [cc.extend565_r(c0_f >> 11), cc.extend565_g((c0_f >> 5) & 63),
+         cc.extend565_b(c0_f & 31)], axis=-1
+    ).astype(jnp.float32)  # (N, 3)
+    d = e0[:, None, :] - rgb_f
+    err_equal = jnp.sum(d * d, axis=(1, 2))
+    best_err = jnp.where(c0_f == c1_f, err_equal, best_err)
+    return dxt_ref._dxt1_bytes(c0_f, c1_f, _pack_rows(codes)), best_err
 
 
 def _true_block_error(data, rgb, always4: bool):
@@ -435,6 +474,73 @@ def _true_block_error(data, rgb, always4: bool):
     dec = dxt_ref._decode_dxt1_channels(data, always4).astype(jnp.float32)
     d = dec - rgb.astype(jnp.float32)
     return jnp.sum(d * d, axis=(1, 2))  # (N,)
+
+
+def _block_error_from_words(rgb_f, c0_16, c1_16, codes, always4: bool):
+    """Exact decoded squared-RGB error from unpacked block fields,
+    gather-free (the byte-payload route through _decode_dxt1_channels
+    costs ~35 ms at 1024^2 in take_along_axis gathers). Replicates
+    DecodeColors' palette rules (dxtc_compressor.cc:167-192) including
+    the equal-endpoint and 3-color cases, and selects the per-pixel
+    palette entry with compare+selects instead of a gather."""
+    e0 = [cc.extend565_r(c0_16 >> 11), cc.extend565_g((c0_16 >> 5) & 63),
+          cc.extend565_b(c0_16 & 31)]
+    e1 = [cc.extend565_r(c1_16 >> 11), cc.extend565_g((c1_16 >> 5) & 63),
+          cc.extend565_b(c1_16 & 31)]
+    equal = c0_16 == c1_16
+    four = (jnp.ones_like(equal) if always4 else c0_16 > c1_16)
+    err = None
+    for ch in range(3):
+        p2_4 = cc.combine_int_fast(2, 1, e0[ch], e1[ch])
+        p3_4 = cc.combine_int_fast(1, 2, e0[ch], e1[ch])
+        p2_3 = cc.combine_int_fast(1, 1, e0[ch], e1[ch])
+        p2 = jnp.where(equal, e1[ch], jnp.where(four, p2_4, p2_3))
+        p3 = jnp.where(equal, e1[ch],
+                       jnp.where(four, p3_4, jnp.zeros_like(e0[ch])))
+        val = jnp.where(
+            codes == 0, e0[ch][:, None],
+            jnp.where(codes == 1, e1[ch][:, None],
+                      jnp.where(codes == 2, p2[:, None], p3[:, None])))
+        d = val.astype(jnp.float32) - rgb_f[:, :, ch]
+        err = d * d if err is None else err + d * d
+    return jnp.sum(err, axis=1)  # (N,)
+
+
+# Bit position of pixel p's 2-bit code inside the LE index word: byte
+# p//4 (row), bits 2*(p%4) within the byte.
+_ROW_SHIFTS = np.asarray([8 * (p // 4) + 2 * (p % 4) for p in range(16)],
+                         dtype=np.uint32)
+
+
+def _ref_dxt1_candidate(rgb, always4: bool, swap: bool):
+    """The reference encoder's block as (c0_16, c1_16, codes, rows): the
+    never-worse baseline candidate. On accelerators this runs the Pallas
+    word-emitting kernel (bit-identical to the jnp path, test_pallas.py;
+    ~160x faster than the XLA encode at 1024^2); on CPU the jnp
+    reference-parity path."""
+    from texcomp import ops as _ops
+
+    if _ops.use_pallas():
+        from texcomp.ops import dxt_pallas
+
+        px = (rgb[:, :, 0].astype(jnp.uint32)
+              | (rgb[:, :, 1].astype(jnp.uint32) << 8)
+              | (rgb[:, :, 2].astype(jnp.uint32) << 16))  # (N, 16)
+        words = dxt_pallas.encode_dxt1_words(px.T, always4=always4,
+                                             swap=swap)  # (2, N) uint32
+        w0, w1 = words[0], words[1]
+        c0 = (w0 & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        c1 = (w0 >> 16).astype(jnp.int32)
+        codes = ((w1[:, None] >> jnp.asarray(_ROW_SHIFTS)[None, :])
+                 & jnp.uint32(3)).astype(jnp.int32)  # (N, 16)
+        rows = jnp.stack(
+            [((w1 >> (8 * k)) & jnp.uint32(255)).astype(jnp.int32)
+             for k in range(4)], axis=-1)  # (N, 4)
+        return c0, c1, codes, rows
+    c0, c1, rows = dxt_ref._encode_dxt1_words(rgb, always4, swap)
+    shifts = jnp.arange(4, dtype=jnp.int32) * 2
+    codes = ((rows[:, :, None] >> shifts[None, None, :]) & 3).reshape(-1, 16)
+    return c0, c1, codes, rows
 
 
 @partial(jax.jit, static_argnames=("swap_red_and_blue",))
@@ -451,16 +557,27 @@ def encode_dxt1_hq_blocks(rgb: jax.Array,
     ``swap_red_and_blue=True``: the HQ search itself is channel-permutation
     invariant (squared-RGB error), but the reference candidate re-applies
     the const-color double swap (dxtc_compressor.cc:360), which the flag
-    preserves — keeping the never-worse guarantee exact for BGR too."""
-    c0, c1, rows = _hq_color_words(rgb)
-    hq = dxt_ref._dxt1_bytes(c0, c1, rows)
-    hq3 = _hq3_color_words(rgb, c0, c1)
-    ref = dxt_ref._dxt1_bytes(
-        *dxt_ref._encode_dxt1_words(rgb, False, swap_red_and_blue))
+    preserves — keeping the never-worse guarantee exact for BGR too.
 
-    out, err = hq, _true_block_error(hq, rgb, False)
-    for cand in (hq3, ref):
-        e = _true_block_error(cand, rgb, False)
+    Every candidate's exact decoded error is tracked by its own search
+    (or computed gather-free for the reference candidate), so no payload
+    is ever re-decoded — the decode-based best-of cost ~105 ms of the
+    round-4 130 ms at 1024^2 (tools/profile_hq_stages.py)."""
+    rgb_f = rgb.astype(jnp.float32)
+    c0, c1, rows, err_hq = _hq_color_words(rgb)
+    hq = dxt_ref._dxt1_bytes(c0, c1, rows)
+    # The hq candidate decodes under always4=False: c0 > c1 is enforced
+    # (4-color, matching the search palette) and c0 == c1 collapses every
+    # palette entry to one color in both rules — err_hq is exact.
+    hq3, err_hq3 = _hq3_color_words(rgb, c0, c1)
+
+    rc0, rc1, rcodes, rrows = _ref_dxt1_candidate(rgb, False,
+                                                  swap_red_and_blue)
+    ref = dxt_ref._dxt1_bytes(rc0, rc1, rrows)
+    err_ref = _block_error_from_words(rgb_f, rc0, rc1, rcodes, False)
+
+    out, err = hq, err_hq
+    for cand, e in ((hq3, err_hq3), (ref, err_ref)):
         # ref last with <=: ties go to the reference payload.
         better = e <= err
         out = jnp.where(better[:, None], cand, out)
@@ -499,12 +616,21 @@ def _alpha_assign(a, a0, a1):
     return codes, err
 
 
+def _tab8(codes, tab):
+    """tab[codes] for an 8-entry float table as compare+selects (gathers
+    cost ~10 ns/element however expressed; see _tab4)."""
+    out = jnp.full(codes.shape, float(tab[0]), jnp.float32)
+    for k in range(1, 8):
+        out = jnp.where(codes == k, float(tab[k]), out)
+    return out
+
+
 def _alpha_ls(a, codes, interp: bool):
     """Least-squares alpha endpoints for fixed codes under one scheme."""
     af = a.astype(jnp.float32)
-    w0 = jnp.asarray(_ALPHA_W0_INTERP if interp else _ALPHA_W0_EXPL)[codes]
+    w0 = _tab8(codes, _ALPHA_W0_INTERP if interp else _ALPHA_W0_EXPL)
     free = (jnp.ones_like(w0)
-            if interp else jnp.asarray(_ALPHA_FREE_EXPL)[codes])
+            if interp else _tab8(codes, _ALPHA_FREE_EXPL))
     w1 = (1.0 - w0) * free
     w0 = w0 * free
     a00 = jnp.sum(w0 * w0, axis=1)
@@ -626,6 +752,29 @@ def _hq_alpha(a, ref_a0, ref_a1, ref_codes_err):
     return st[0], st[1], st[2]
 
 
+def _ref_dxt5_blockbytes(rgb, full_outside, swap: bool):
+    """The reference DXT5 encoding as (N, 16) int32 block bytes: Pallas
+    word kernel on accelerators (bit-identical, test_pallas.py), jnp
+    reference path on CPU."""
+    from texcomp import ops as _ops
+
+    if _ops.use_pallas():
+        from texcomp.ops import dxt_pallas
+
+        px = (rgb[:, :, 0].astype(jnp.uint32)
+              | (rgb[:, :, 1].astype(jnp.uint32) << 8)
+              | (rgb[:, :, 2].astype(jnp.uint32) << 16)
+              | (rgb[:, :, 3].astype(jnp.uint32) << 24))  # (N, 16)
+        w17 = jnp.concatenate(
+            [px.T, full_outside.astype(jnp.uint32)[None, :]], axis=0)
+        words = dxt_pallas.encode_dxt5_words(w17, swap=swap)  # (4, N)
+        return jnp.stack(
+            [((words[k // 4] >> (8 * (k % 4))) & jnp.uint32(255))
+             .astype(jnp.int32) for k in range(16)], axis=-1)  # (N, 16)
+    return dxt_ref.encode_dxt5_blocks(
+        rgb, full_outside, swap_red_and_blue=swap).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("swap_red_and_blue",))
 def encode_dxt5_hq_blocks(rgb: jax.Array, full_outside: jax.Array,
                           swap_red_and_blue: bool = False) -> jax.Array:
@@ -633,17 +782,24 @@ def encode_dxt5_hq_blocks(rgb: jax.Array, full_outside: jax.Array,
     endpoints, each per-block best-of vs the reference encoder (never
     worse); payloads remain standard DXT5. For BGRA pass pre-swapped
     blocks + ``swap_red_and_blue=True`` (see encode_dxt1_hq_blocks)."""
-    ref_full = dxt_ref.encode_dxt5_blocks(
-        rgb, full_outside, swap_red_and_blue=swap_red_and_blue
-    ).astype(jnp.int32)
+    ref_full = _ref_dxt5_blockbytes(rgb, full_outside, swap_red_and_blue)
 
     # --- color half (always-4-color decode rule) ---
     rgb3 = rgb[:, :, :3]
-    c0, c1, rows = _hq_color_words(rgb3)
+    rgb3_f = rgb3.astype(jnp.float32)
+    c0, c1, rows, err_hq = _hq_color_words(rgb3)
     hq = dxt_ref._dxt1_bytes(c0, c1, rows)
+    # err_hq is exact under always4 too: c0 > c1 is enforced, and equal
+    # endpoints collapse the palette identically in both rules.
+    ref_c0 = ref_full[:, 8] + ref_full[:, 9] * 256
+    ref_c1 = ref_full[:, 10] + ref_full[:, 11] * 256
+    shifts = jnp.arange(4, dtype=jnp.int32) * 2
+    ref_codes = ((ref_full[:, 12:16][:, :, None] >> shifts[None, None, :])
+                 & 3).reshape(-1, 16)
+    err_ref = _block_error_from_words(rgb3_f, ref_c0, ref_c1, ref_codes,
+                                      True)
     ref_color = ref_full[:, 8:16].astype(jnp.uint8)
-    pick_hq = (_true_block_error(hq, rgb3, True)
-               <= _true_block_error(ref_color, rgb3, True))
+    pick_hq = err_hq <= err_ref
     color = jnp.where(pick_hq[:, None], hq, ref_color).astype(jnp.int32)
 
     # --- alpha half ---
@@ -652,7 +808,10 @@ def encode_dxt5_hq_blocks(rgb: jax.Array, full_outside: jax.Array,
     ref_a1 = ref_full[:, 1]
     ref_codes = dxt_ref._unpack_alpha_codes(ref_full[:, 2:8])
     ramp = _alpha_decode_ramp(ref_a0, ref_a1)
-    ref_vals = jnp.take_along_axis(ramp, ref_codes, axis=1)
+    # ramp[codes] as an 8-way select chain (gather-free; see _tab4).
+    ref_vals = ramp[:, 0:1]
+    for k in range(1, 8):
+        ref_vals = jnp.where(ref_codes == k, ramp[:, k:k + 1], ref_vals)
     ref_err = jnp.sum((ref_vals - a).astype(jnp.float32) ** 2, axis=-1)
     a0, a1, codes = _hq_alpha(a, ref_a0, ref_a1, (ref_codes, ref_err))
     alpha_bytes = dxt_ref._pack_alpha_codes(codes)

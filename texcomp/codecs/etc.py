@@ -610,6 +610,122 @@ def _cluster_fit_enum_bases(rgb: jax.Array, flip: bool, top: int = 2):
     return out, real
 
 
+def _neighborhood_qs(q, spaces):
+    """±1 probes per (subblock, channel) of the quantized bases
+    q = (q1_555, q2_555, q1_444, q2_444), in the given spaces
+    ("555" and/or "444"); one base tuple per probe."""
+    out = []
+    for sb in (0, 1):
+        for ch in range(3):
+            for d in (-1, 1):
+                if "555" in spaces:
+                    p1, p2 = list(q[0]), list(q[1])
+                    (p1 if sb == 0 else p2)[ch] = jnp.clip(
+                        (p1 if sb == 0 else p2)[ch] + d, 0, 31)
+                    out.append((p1, p2, q[2], q[3]))
+                if "444" in spaces:
+                    f1, f2 = list(q[2]), list(q[3])
+                    (f1 if sb == 0 else f2)[ch] = jnp.clip(
+                        (f1 if sb == 0 else f2)[ch] + d, 0, 15)
+                    out.append((q[0], q[1], f1, f2))
+    return out
+
+
+def _hq_base_candidates(rgb: jax.Array, flip: bool):
+    """The ordered phase-A candidate base tuples of the HQ search
+    (families 1-3 and 5 of :func:`encode_etc1_hq_blocks`; the refits and
+    final probes are sequential phases). Order IS the tie-break order.
+    Returns a list of (q1_555, q2_555, q1_444, q2_444) 3-list tuples."""
+    mask0f = jnp.asarray(_subblock_mask(flip)).astype(jnp.int32)[None, :]
+    avg1, avg2 = [], []
+    for ch in range(3):
+        c = rgb[:, :, ch]
+        avg1.append(jnp.sum(c * mask0f, axis=1) // 8)
+        avg2.append(jnp.sum(c * (1 - mask0f), axis=1) // 8)
+
+    q1t = ([a >> 3 for a in avg1], [a >> 4 for a in avg1])
+    q2t = ([a >> 3 for a in avg2], [a >> 4 for a in avg2])
+    q1r = ([cc.quantize8(a, 5) for a in avg1],
+           [cc.quantize8(a, 4) for a in avg1])
+    q2r = ([cc.quantize8(a, 5) for a in avg2],
+           [cc.quantize8(a, 4) for a in avg2])
+
+    qs = [(q1t[0], q2t[0], q1t[1], q2t[1]),
+          (q1r[0], q2r[0], q1r[1], q2r[1])]
+
+    # Clamped-delta candidates: when a channel delta falls outside
+    # differential mode's [-4, 3], the reference drops to 444+444
+    # individual mode for the whole block. Clamping one base toward
+    # the other keeps 555 precision on both subblocks — a candidate
+    # the reference never tries (the 444 halves still compete via the
+    # families above).
+    q2c = [jnp.clip(b, a - 4, a + 3) for a, b in zip(q1r[0], q2r[0])]
+    q1c = [jnp.clip(a, b - 3, b + 4) for a, b in zip(q1r[0], q2r[0])]
+    qs.append((q1r[0], q2c, q1r[1], q2r[1]))
+    qs.append((q1c, q2r[0], q1r[1], q2r[1]))
+
+    qs += _neighborhood_qs((q1r[0], q2r[0], q1r[1], q2r[1]),
+                           ("555", "444"))
+
+    # 5. Joint-assignment (cluster-fit) candidates: per-codeword
+    #    alternating reassign + LS refit from two seeds (subblock mean,
+    #    2-means luminance split); best + runner-up pairs per seed.
+    q_enum, real_enum = _cluster_fit_enum_bases(rgb, flip)
+    # Clamp-aware alternating refinement additionally seeded from the
+    # enum winner's real-valued bases (the enum score ignores the
+    # [0, 255] clamp; the alternation's exact assignment restores it).
+    qs += _cluster_fit_bases(rgb, flip, extra_seeds=real_enum[:1])
+    qs += q_enum
+    # Clamped-delta variants of the enum winner (same 555-preserving
+    # move as family 2's, centered on the joint optimum). A ±1
+    # neighborhood around the enum winner was tried and rejected:
+    # +0.01-0.03 dB for 24 finish calls per flip.
+    eq1, eq2 = q_enum[0][0], q_enum[0][1]
+    e2c = [jnp.clip(b, a - 4, a + 3) for a, b in zip(eq1, eq2)]
+    e1c = [jnp.clip(a, b - 3, b + 4) for a, b in zip(eq1, eq2)]
+    qs.append((eq1, e2c, q_enum[0][2], q_enum[0][3]))
+    qs.append((e1c, eq2, q_enum[0][2], q_enum[0][3]))
+    return qs
+
+
+def _encode_etc1_hq_blocks_pallas(rgb: jax.Array,
+                                  interpret: bool = False) -> jax.Array:
+    """Device path of :func:`encode_etc1_hq_blocks`: candidate bases are
+    generated in XLA (cheap — 1.6 ms total at 512^2), then ONE Pallas
+    kernel per flip scores every candidate, runs the two alternating
+    refits, and probes the ±1 neighborhood with the pixel planes resident
+    in VMEM (the XLA _finish_flip route materializes an (N, 16, 8, 4)
+    error tensor in HBM per candidate: 550 ms at 512^2 for the ~66
+    candidates per flip, tools/profile_hq_stages.py)."""
+    from texcomp.ops import etc_pallas as ep
+
+    px = (rgb[:, :, 0].astype(jnp.uint32)
+          | (rgb[:, :, 1].astype(jnp.uint32) << 8)
+          | (rgb[:, :, 2].astype(jnp.uint32) << 16))  # (N, 16)
+    words_nat = px.T  # (16, N)
+    words_perm = words_nat[np.asarray(ep._PERM_F), :]
+
+    best = None
+    for flip in (False, True):
+        qs = _hq_base_candidates(rgb, flip)
+        rows = []
+        for q in qs:
+            rows.append(ep._pack_q_word(q[0], q[2]))  # subblock 1
+            rows.append(ep._pack_q_word(q[1], q[3]))  # subblock 2
+        cands = jnp.stack(rows, axis=0)  # (2K, N)
+        hi, lo, err = ep.etc1_hq_search(
+            words_nat if flip else words_perm, cands, flip,
+            interpret=interpret)
+        if best is None:
+            best = (hi, lo, err)
+        else:
+            better = err < best[2]
+            best = (jnp.where(better, hi, best[0]),
+                    jnp.where(better, lo, best[1]),
+                    jnp.where(better, err, best[2]))
+    return words_to_bytes(best[0], best[1])
+
+
 @jax.jit
 def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
     """High-quality ETC1 encode (EXTENSION — beats the reference encoder).
@@ -644,45 +760,16 @@ def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
          families 1-4; gains measured at +1.17-1.71 dB total on the
          bundled photos, QUALITY.md.)
     """
+    from texcomp import ops as _ops
+
+    if _ops.use_pallas():
+        return _encode_etc1_hq_blocks_pallas(rgb)
+
     best = None
     for flip in (False, True):
-        mask0f = jnp.asarray(_subblock_mask(flip)).astype(jnp.int32)[None, :]
-        avg1, avg2 = [], []
-        for ch in range(3):
-            c = rgb[:, :, ch]
-            avg1.append(jnp.sum(c * mask0f, axis=1) // 8)
-            avg2.append(jnp.sum(c * (1 - mask0f), axis=1) // 8)
-
-        q1t = ([a >> 3 for a in avg1], [a >> 4 for a in avg1])
-        q2t = ([a >> 3 for a in avg2], [a >> 4 for a in avg2])
-        q1r = ([cc.quantize8(a, 5) for a in avg1],
-               [cc.quantize8(a, 4) for a in avg1])
-        q2r = ([cc.quantize8(a, 5) for a in avg2],
-               [cc.quantize8(a, 4) for a in avg2])
-
         def finish(q1_555, q2_555, q1_444, q2_444, flip=flip):
             return _finish_flip(rgb, flip, SMALLER_ERROR,
                                 q1_555, q2_555, q1_444, q2_444)
-
-        def neighborhood_qs(q, spaces):
-            """±1 probes per (subblock, channel) of the quantized bases
-            q = (q1_555, q2_555, q1_444, q2_444), in the given spaces
-            ("555" and/or "444"); one base tuple per probe."""
-            out = []
-            for sb in (0, 1):
-                for ch in range(3):
-                    for d in (-1, 1):
-                        if "555" in spaces:
-                            p1, p2 = list(q[0]), list(q[1])
-                            (p1 if sb == 0 else p2)[ch] = jnp.clip(
-                                (p1 if sb == 0 else p2)[ch] + d, 0, 31)
-                            out.append((p1, p2, q[2], q[3]))
-                        if "444" in spaces:
-                            f1, f2 = list(q[2]), list(q[3])
-                            (f1 if sb == 0 else f2)[ch] = jnp.clip(
-                                (f1 if sb == 0 else f2)[ch] + d, 0, 15)
-                            out.append((q[0], q[1], f1, f2))
-            return out
 
         def scan_best(qs, incumbent, flip=flip):
             """Strict-less best-of over candidate base tuples via ONE
@@ -720,43 +807,7 @@ def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
             out, _ = jax.lax.scan(body, incumbent, stacked)
             return out
 
-        qs = [(q1t[0], q2t[0], q1t[1], q2t[1]),
-              (q1r[0], q2r[0], q1r[1], q2r[1])]
-
-        # Clamped-delta candidates: when a channel delta falls outside
-        # differential mode's [-4, 3], the reference drops to 444+444
-        # individual mode for the whole block. Clamping one base toward
-        # the other keeps 555 precision on both subblocks — a candidate
-        # the reference never tries (the 444 halves still compete via the
-        # families above).
-        q2c = [jnp.clip(b, a - 4, a + 3) for a, b in zip(q1r[0], q2r[0])]
-        q1c = [jnp.clip(a, b - 3, b + 4) for a, b in zip(q1r[0], q2r[0])]
-        qs.append((q1r[0], q2c, q1r[1], q2r[1]))
-        qs.append((q1c, q2r[0], q1r[1], q2r[1]))
-
-        qs += neighborhood_qs((q1r[0], q2r[0], q1r[1], q2r[1]),
-                              ("555", "444"))
-
-        # 5. Joint-assignment (cluster-fit) candidates: per-codeword
-        #    alternating reassign + LS refit from two seeds (subblock mean,
-        #    2-means luminance split); best + runner-up pairs per seed.
-        q_enum, real_enum = _cluster_fit_enum_bases(rgb, flip)
-        # Clamp-aware alternating refinement additionally seeded from the
-        # enum winner's real-valued bases (the enum score ignores the
-        # [0, 255] clamp; the alternation's exact assignment restores it).
-        qs += _cluster_fit_bases(rgb, flip, extra_seeds=real_enum[:1])
-        qs += q_enum
-        # Clamped-delta variants of the enum winner (same 555-preserving
-        # move as family 2's, centered on the joint optimum). A ±1
-        # neighborhood around the enum winner was tried and rejected:
-        # +0.01-0.03 dB for 24 finish calls per flip.
-        eq1, eq2 = q_enum[0][0], q_enum[0][1]
-        e2c = [jnp.clip(b, a - 4, a + 3) for a, b in zip(eq1, eq2)]
-        e1c = [jnp.clip(a, b - 3, b + 4) for a, b in zip(eq1, eq2)]
-        qs.append((eq1, e2c, q_enum[0][2], q_enum[0][3]))
-        qs.append((e1c, eq2, q_enum[0][2], q_enum[0][3]))
-
-        hi, lo, err = scan_best(qs, None)
+        hi, lo, err = scan_best(_hq_base_candidates(rgb, flip), None)
 
         # Alternating refit: LS bases from the incumbent's modifiers, then
         # a fresh exhaustive search. The refit output (not the incumbent)
@@ -779,7 +830,7 @@ def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
         # joint best often sits one code point off — same reasoning as
         # family 3, but centered on the refit instead of the subblock
         # average). +0.08 dB on photos for 24 extra candidates per flip.
-        hi, lo, err = scan_best(neighborhood_qs(q, ("555", "444")),
+        hi, lo, err = scan_best(_neighborhood_qs(q, ("555", "444")),
                                 (hi, lo, err))
 
         if best is None:

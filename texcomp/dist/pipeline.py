@@ -76,19 +76,26 @@ def _batch_encode_hq(images: jax.Array, codec: str,
     if codec == "pvrtc4":
         return jax.vmap(encode_pvrtc_4bpp_hq_device)(images)
 
+    b = images.shape[0]
     n = (images.shape[1] // 4) * (images.shape[2] // 4)
     blocks = jax.vmap(image_to_blocks)(images)
     if swap:  # blocks pre-swapped to RGB order, quirk flag threaded below
         blocks = jnp.concatenate(
             [blocks[..., 2::-1], blocks[..., 3:]], axis=-1)
+    # The block HQ encoders are purely per-block: flattening the batch is
+    # byte-identical to a vmap, feeds the device ONE big batch (better
+    # lane occupancy at small sizes), and keeps the Pallas HQ search
+    # kernels off the vmap path.
+    flat = blocks.reshape(b * n, 16, blocks.shape[-1])
     if codec == "dxt1":
-        return jax.vmap(lambda blk: dxt_hq.encode_dxt1_hq_blocks(
-            blk, swap_red_and_blue=swap))(blocks)
-    if codec == "dxt5":
-        outside = jnp.zeros((images.shape[0], n), dtype=bool)
-        return jax.vmap(lambda blk, o: dxt_hq.encode_dxt5_hq_blocks(
-            blk, o, swap_red_and_blue=swap))(blocks, outside)
-    return jax.vmap(etc.encode_etc1_hq_blocks)(blocks)
+        out = dxt_hq.encode_dxt1_hq_blocks(flat, swap_red_and_blue=swap)
+    elif codec == "dxt5":
+        outside = jnp.zeros((b * n,), dtype=bool)
+        out = dxt_hq.encode_dxt5_hq_blocks(flat, outside,
+                                           swap_red_and_blue=swap)
+    else:
+        out = etc.encode_etc1_hq_blocks(flat)
+    return out.reshape(b, n, -1)
 
 
 def _mosaic_cols(b: int, w: int) -> int:

@@ -167,14 +167,28 @@ def _encode_flip(rgb_nat, rgb_perm, flip: bool, strategy: int):
     avg2 = [jnp.sum(ch, axis=0, keepdims=True) >> 3 for ch in g2]
     q1_555 = [a >> 3 for a in avg1]
     q2_555 = [a >> 3 for a in avg2]
+    q1_444 = [a >> 4 for a in avg1]
+    q2_444 = [a >> 4 for a in avg2]
+    return _finish_from_q(src, q1_555, q2_555, q1_444, q2_444, flip,
+                          strategy)
+
+
+def _finish_from_q(src, q1_555, q2_555, q1_444, q2_444, flip: bool,
+                   strategy: int):
+    """Mode decision + codeword/index search + word packing for GIVEN
+    quantized subblock bases (the tail of FindBestSubblockEncoding,
+    etc_compressor.cc:480-542; the in-kernel twin of
+    codecs.etc._finish_flip). src: 3-tuple of (16, T) pixels with the
+    flip's subblocks on contiguous sublane halves; q*: 3-lists of (1, T)
+    int32. Returns (hi, lo, err) logical words."""
+    g1 = [ch[0:8] for ch in src]
+    g2 = [ch[8:16] for ch in src]
     d555 = [b - a for a, b in zip(q1_555, q2_555)]
     use_diff = None
     for d in d555:
         c = (d >= -4) & (d <= 3)
         use_diff = c if use_diff is None else (use_diff & c)
 
-    q1_444 = [a >> 4 for a in avg1]
-    q2_444 = [a >> 4 for a in avg2]
     ext5 = lambda v: (v << 3) | (v >> 2)
     ext4 = lambda v: (v << 4) | v
     dec1 = [jnp.where(use_diff, ext5(q5), ext4(q4))
@@ -536,3 +550,221 @@ def etc1_downsample_encode_words(words: jax.Array, *, nby: int, nbx: int,
         interpret=interpret,
     )(grouped)
     return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# HQ search kernel: best-of-K candidate bases + alternating refits + ±1
+# probes, entirely in VMEM.
+#
+# The XLA HQ path scores each of the ~66 candidate base tuples per flip
+# with codecs.etc._finish_flip, which materializes an (N, 16, 8, 4) error
+# tensor in HBM per candidate — 550 ms at 512^2 (tools/
+# profile_hq_stages.py). Here the pixel planes stay resident in VMEM
+# across a (tiles, K) grid whose K dimension walks the candidate list
+# (sequential on TPU, preserving the scan-order first-occurrence
+# tie-breaks), and each step is pure VPU work. Three step phases:
+#   k <  KC      candidate bases from the packed input row k
+#   k in [KC,KC+2)  alternating refit: LS bases from the incumbent's
+#                   modifiers (codecs.etc._refit_bases), chained through
+#                   a scratch register exactly like the XLA loop
+#   k >= KC+2    ±1 code-point probes (both 555 and 444 spaces) around
+#                   the SECOND refit's bases, in neighborhood_qs order
+# Base tuples are packed 2 uint32 words per candidate (one per subblock):
+# q555 r,g,b at bits 0/5/10, q444 r,g,b at bits 15/19/23.
+# ---------------------------------------------------------------------------
+
+_HQ_REFITS = 2
+_HQ_PROBES = 24  # 2 subblocks x 3 channels x (-1, +1) x (555, 444)
+
+
+def _pack_q_word(q555, q444):
+    """3-lists of int32 planes -> packed candidate word (same layout the
+    kernel unpacks)."""
+    w = (q555[0].astype(jnp.uint32)
+         | (q555[1].astype(jnp.uint32) << 5)
+         | (q555[2].astype(jnp.uint32) << 10)
+         | (q444[0].astype(jnp.uint32) << 15)
+         | (q444[1].astype(jnp.uint32) << 19)
+         | (q444[2].astype(jnp.uint32) << 23))
+    return w
+
+
+def _unpack_q_words(w1, w2):
+    """(1, T) packed candidate words -> (q1_555, q2_555, q1_444, q2_444)
+    3-lists of (1, T) int32."""
+    f = lambda w, s, b: ((w >> s) & _U32((1 << b) - 1)).astype(jnp.int32)
+    q1_555 = [f(w1, 0, 5), f(w1, 5, 5), f(w1, 10, 5)]
+    q2_555 = [f(w2, 0, 5), f(w2, 5, 5), f(w2, 10, 5)]
+    q1_444 = [f(w1, 15, 4), f(w1, 19, 4), f(w1, 23, 4)]
+    q2_444 = [f(w2, 15, 4), f(w2, 19, 4), f(w2, 23, 4)]
+    return q1_555, q2_555, q1_444, q2_444
+
+
+def _quantize8_i32(v, num_bits: int):
+    """Blinn round-exact quantization (color_util.h:156-164) on int32."""
+    i = v * ((1 << num_bits) - 1) + 128
+    return (i + (i >> 8)) >> 8
+
+
+def _refit_q_words(src, hi, lo, flip: bool):
+    """In-kernel twin of codecs.etc._refit_bases: least-squares subblock
+    bases for the packed candidate's chosen modifiers, re-quantized.
+    src: 3-tuple (16, T) int32; hi, lo: (1, T) uint32 LOGICAL words.
+    Returns the two packed candidate words."""
+    cb = ETC1_CODEBOOK
+    hi_i = hi.astype(jnp.int32)
+    cw1 = (hi_i >> 5) & 7
+    cw2 = (hi_i >> 2) & 7
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    words = []
+    for g, cw in ((0, cw1), (1, cw2)):
+        if flip:
+            shift = 4 * (r_i & 3) + 2 * g + (r_i >> 2)
+        else:
+            shift = 4 * (r_i & 1) + 8 * g + (r_i >> 1)
+        shift = shift.astype(_U32)
+        idx = (((lo >> shift) & _U32(1))
+               | (((lo >> (shift + _U32(16))) & _U32(1)) << 1)
+               ).astype(jnp.int32)  # (8, T)
+        va = _codeword_select(cw, cb[:, 0])  # (1, T)
+        vb = _codeword_select(cw, cb[:, 1])
+        m = jnp.where(idx == 0, va,
+                      jnp.where(idx == 1, vb,
+                                jnp.where(idx == 2, -va, -vb)))  # (8, T)
+        mf = m.astype(jnp.float32)
+        q555, q444 = [], []
+        for ch in src:
+            group = ch[8 * g:8 * g + 8].astype(jnp.float32)
+            s = jnp.sum(group - mf, axis=0, keepdims=True)  # (1, T)
+            b = jnp.clip(jnp.round(s * 0.125), 0.0, 255.0).astype(jnp.int32)
+            q555.append(_quantize8_i32(b, 5))
+            q444.append(_quantize8_i32(b, 4))
+        words.append(_pack_q_word(q555, q444))
+    return words[0], words[1]
+
+
+def _probe_q_words(w1, w2, j: int):
+    """±1 probe j (neighborhood_qs order: sb-major, then channel, then
+    d in (-1, +1), then space in (555, 444)) applied to packed words."""
+    sb = j // 12
+    ch = (j % 12) // 4
+    d = -1 if ((j % 4) // 2) == 0 else 1
+    space = "555" if (j % 2) == 0 else "444"
+    w = w1 if sb == 0 else w2
+    if space == "555":
+        sh, bits, top = 5 * ch, 5, 31
+    else:
+        sh, bits, top = 15 + 4 * ch, 4, 15
+    mask = _U32(((1 << bits) - 1) << sh)
+    f = ((w & mask) >> sh).astype(jnp.int32)
+    f2 = jnp.clip(f + d, 0, top).astype(_U32) << sh
+    w_new = (w & ~mask) | f2
+    return (w_new, w2) if sb == 0 else (w1, w_new)
+
+
+def _etc1_hq_kernel(px_ref, cand_ref, hi_lo_ref, err_ref,
+                    qsel, cur, qpack, *, flip, n_cand):
+    k = pl.program_id(1)
+    n_steps_a = n_cand
+
+    w = px_ref[:].astype(jnp.int32)
+    src = (w & 255, (w >> 8) & 255, (w >> 16) & 255)
+
+    @pl.when(k == 0)
+    def _init():
+        hi_lo_ref[:] = jnp.zeros_like(hi_lo_ref)
+        # Max block error 16*3*255^2 < 2^24: this sentinel guarantees the
+        # first candidate's strict-less win (scan_best's incumbent).
+        err_ref[:] = jnp.full_like(err_ref, 3.4e38)
+
+    # --- phase select: write the step's candidate words into qsel ---
+    @pl.when(k < n_steps_a)
+    def _phase_a():
+        qsel[:] = cand_ref[:]
+
+    for r in range(_HQ_REFITS):
+        @pl.when(k == n_steps_a + r)
+        def _phase_b(r=r):
+            # Refit 0 starts from the best-so-far words; refit 1 from the
+            # previous refit's own output (cur), matching the XLA chain.
+            words = hi_lo_ref[:] if r == 0 else cur[:]
+            hi = words[0:1]
+            lo = words[1:2]
+            w1, w2 = _refit_q_words(src, hi, lo, flip)
+            qsel[:] = jnp.concatenate([w1, w2], axis=0)
+
+    for j in range(_HQ_PROBES):
+        @pl.when(k == n_steps_a + _HQ_REFITS + j)
+        def _phase_c(j=j):
+            w1, w2 = _probe_q_words(qpack[0:1], qpack[1:2], j)
+            qsel[:] = jnp.concatenate([w1, w2], axis=0)
+
+    # --- one shared exact search on the selected bases ---
+    q = qsel[:]
+    q1_555, q2_555, q1_444, q2_444 = _unpack_q_words(q[0:1], q[1:2])
+    hi, lo, err = _finish_from_q(src, q1_555, q2_555, q1_444, q2_444,
+                                 flip, SMALLER_ERROR)
+    errf = err.astype(jnp.float32)
+
+    # Phase-B chaining state: cur advances to the refit candidate's OWN
+    # words whether or not they beat the incumbent; the probes perturb the
+    # SECOND refit's bases.
+    @pl.when((k >= n_steps_a) & (k < n_steps_a + _HQ_REFITS))
+    def _chain():
+        cur[:] = jnp.concatenate([hi, lo], axis=0)
+
+    @pl.when(k == n_steps_a + _HQ_REFITS - 1)
+    def _save_probe_center():
+        qpack[:] = q
+
+    better = errf < err_ref[:]
+    hi_lo_ref[:] = jnp.where(better, jnp.concatenate([hi, lo], axis=0),
+                             hi_lo_ref[:])
+    err_ref[:] = jnp.where(better, errf, err_ref[:])
+
+
+def etc1_hq_search(words: jax.Array, cands: jax.Array, flip: bool,
+                   interpret: bool = False):
+    """Best-of over candidate base tuples + refits + probes for one flip.
+
+    words: (16, N) uint32 packed pixels in the flip's subblock-contiguous
+    row order (natural for flip=True, _PERM_F for flip=False).
+    cands: (2*K, N) uint32 packed base candidates (2 rows per candidate).
+    Returns (hi, lo, err): (N,) logical uint32 words + (N,) float32 exact
+    block error. Candidate order = scan order = tie-break order, then 2
+    alternating refits, then 24 ±1 probes (codecs.etc HQ families)."""
+    n = words.shape[1]
+    n_cand = cands.shape[0] // 2
+    tile = _tile_for(n)
+    words = _pad_lanes(words, tile)
+    cands = _pad_lanes(cands, tile)
+    np_ = words.shape[1]
+    n_steps = n_cand + _HQ_REFITS + _HQ_PROBES
+    hi_lo, err = pl.pallas_call(
+        partial(_etc1_hq_kernel, flip=flip, n_cand=n_cand),
+        grid=(np_ // tile, n_steps),
+        in_specs=[
+            pl.BlockSpec((16, tile), lambda i, k: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile),
+                         lambda i, k: (jnp.minimum(k, n_cand - 1), i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, tile), lambda i, k: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, k: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, np_), jnp.uint32),
+            jax.ShapeDtypeStruct((1, np_), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, tile), jnp.uint32),
+            pltpu.VMEM((2, tile), jnp.uint32),
+            pltpu.VMEM((2, tile), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(words, cands)
+    return hi_lo[0, :n], hi_lo[1, :n], err[0, :n]
