@@ -35,6 +35,11 @@ _REFINE_ITERS = 3
 # (e.g. the asset pipeline's shard_map importing codecs lazily).
 _CODE_W0 = np.asarray([1.0, 0.0, 2.0 / 3.0, 1.0 / 3.0], dtype=np.float32)
 _CODE_W1 = np.asarray([0.0, 1.0, 1.0 / 3.0, 2.0 / 3.0], dtype=np.float32)
+# Integer-scaled (x3) variants for the exact least-squares solve (see
+# _least_squares_endpoints: integer summands make the reductions exact and
+# therefore identical across backends).
+_CODE_U0 = np.asarray([3.0, 0.0, 2.0, 1.0], dtype=np.float32)
+_CODE_U1 = np.asarray([0.0, 3.0, 1.0, 2.0], dtype=np.float32)
 
 
 def _hardware_palette(c0_16, c1_16):
@@ -77,28 +82,45 @@ def _tab4(codes, tab):
     return out
 
 
-def _least_squares_endpoints(rgb_f, codes, w0_tab=None, w1_tab=None):
+def _least_squares_endpoints(rgb_f, codes, w0_tab=None, w1_tab=None,
+                             scale: int = 3):
     """Solve min ||w0*e0 + w1*e1 - px||^2 over the block for e0, e1 given
-    per-pixel weights; closed-form 2x2 normal equations per block/channel."""
-    w0 = _tab4(codes, _CODE_W0 if w0_tab is None else w0_tab)  # (N, 16)
-    w1 = _tab4(codes, _CODE_W1 if w1_tab is None else w1_tab)
+    per-pixel weights; closed-form 2x2 normal equations per block/channel.
+
+    EXACT cross-backend arithmetic: the tables are INTEGER-scaled weights
+    (u = scale * w — e.g. thirds x3), so every reduction sums exact f32
+    integers (order-independent; fractional-weight sums differ between
+    CPU and TPU reduction orders, which made TPU HQ bytes diverge from
+    CPU — tools/tpu_parity_smoke.py). Solving the scaled system
+    (A_u = scale^2 A, b_u = scale b) gives y = x / scale, so the result
+    is rescaled at the end; a zero/nonzero det test is exact on the
+    integer-valued det_u."""
+    w0 = _tab4(codes, _CODE_U0 if w0_tab is None else w0_tab).astype(
+        jnp.int32)
+    w1 = _tab4(codes, _CODE_U1 if w1_tab is None else w1_tab).astype(
+        jnp.int32)
     a00 = jnp.sum(w0 * w0, axis=1)
     a01 = jnp.sum(w0 * w1, axis=1)
     a11 = jnp.sum(w1 * w1, axis=1)
-    det = a00 * a11 - a01 * a01
-    safe = jnp.abs(det) > 1e-6
-    det = jnp.where(safe, det, 1.0)
+    det = a00 * a11 - a01 * a01  # exact int32
+    safe = det != 0
+    det_f = jnp.where(safe, det, 1).astype(jnp.float32)
+    s = float(scale)
+    rgb_i = rgb_f.astype(jnp.int32)
 
     e0 = []
     e1 = []
     for ch in range(3):
-        px = rgb_f[:, :, ch]
+        px = rgb_i[:, :, ch]
         b0 = jnp.sum(w0 * px, axis=1)
         b1 = jnp.sum(w1 * px, axis=1)
-        x0 = (a11 * b0 - a01 * b1) / det
-        x1 = (a00 * b1 - a01 * b0) / det
+        # Numerators in int32 (|.| <= scale^2*16 * scale*255*16 < 2^31):
+        # the ONLY rounding is the final int->f32 conversion + divide,
+        # both IEEE-deterministic across backends.
+        x0 = s * (a11 * b0 - a01 * b1).astype(jnp.float32) / det_f
+        x1 = s * (a00 * b1 - a01 * b0).astype(jnp.float32) / det_f
         # Degenerate (all pixels on one endpoint): keep that endpoint.
-        fallback = jnp.sum(px, axis=1) / 16.0
+        fallback = jnp.sum(px, axis=1).astype(jnp.float32) / 16.0
         e0.append(jnp.clip(jnp.where(safe, x0, fallback), 0.0, 255.0))
         e1.append(jnp.clip(jnp.where(safe, x1, fallback), 0.0, 255.0))
     return e0, e1
@@ -116,16 +138,36 @@ def _quantize_endpoints(e0, e1):
 
 def _pca_project(rgb_f):
     """Principal-axis projections: 3 power iterations on the 3x3 block
-    covariance. Returns (mean (N, 1, 3), axis (N, 3), t (N, 16))."""
-    mean = jnp.mean(rgb_f, axis=1, keepdims=True)  # (N, 1, 3)
-    d = rgb_f - mean  # (N, 16, 3)
-    cov = jnp.einsum("npi,npj->nij", d, d)  # (N, 3, 3)
-    v = jnp.ones((rgb_f.shape[0], 3), dtype=jnp.float32)
+    covariance. Returns (mean (N, 1, 3), axis (N, 3), t (N, 16)).
+
+    EXACT cross-backend arithmetic (tools/tpu_parity_smoke.py): the
+    covariance is computed in int32 on 16x-scaled centered pixels (sums
+    of products fit in int32; integer reductions are order-independent,
+    where f32 matmuls — even at HIGHEST precision — round differently on
+    the MXU vs the CPU). The power iteration and projections are then
+    unrolled elementwise ops, which are IEEE-deterministic everywhere."""
+    n = rgb_f.shape[0]
+    rgb_i = rgb_f.astype(jnp.int32)
+    s = jnp.sum(rgb_i, axis=1)  # (N, 3)
+    d16 = 16 * rgb_i - s[:, None, :]  # (N, 16, 3): 16 * (px - mean)
+    # 3x3 covariance (x256 scaled): 6 unique int32 entries, each a sum of
+    # 16 exact products |.| <= 16 * 4080^2 < 2^31.
+    cov = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(i, 3):
+            cij = jnp.sum(d16[:, :, i] * d16[:, :, j], axis=1)
+            cov[i][j] = cov[j][i] = cij.astype(jnp.float32)
+    mean = (s.astype(jnp.float32) / 16.0)[:, None, :]  # (N, 1, 3)
+    v = [jnp.ones((n,), jnp.float32) for _ in range(3)]
     for _ in range(3):
-        v = jnp.einsum("nij,nj->ni", cov, v)
-        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-6)
-    t = jnp.einsum("npi,ni->np", d, v)  # (N, 16)
-    return mean, v, t
+        w = [cov[i][0] * v[0] + cov[i][1] * v[1] + cov[i][2] * v[2]
+             for i in range(3)]
+        nrm = jnp.sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2]) + 1e-6
+        v = [wi / nrm for wi in w]
+    d = rgb_f - mean  # (N, 16, 3) — exact (x/16 fractions)
+    t = (d[:, :, 0] * v[0][:, None] + d[:, :, 1] * v[1][:, None]
+         + d[:, :, 2] * v[2][:, None])  # (N, 16)
+    return mean, jnp.stack(v, axis=-1), t
 
 
 def _pca_endpoints(rgb_f, proj=None):
@@ -403,9 +445,9 @@ def _hq_color_words(rgb):
 
 # 3-color mode (c0 <= c1): palette [e0, e1, (e0+e1)/2, black]. Weights for
 # the least-squares refit; black contributes nothing (free = 0 drops the
-# pixel from the normal equations).
-_CODE3_W0 = np.asarray([1.0, 0.0, 0.5, 0.0], dtype=np.float32)
-_CODE3_W1 = np.asarray([0.0, 1.0, 0.5, 0.0], dtype=np.float32)
+# pixel from the normal equations). Integer-scaled x2 for the exact solve.
+_CODE3_U0 = np.asarray([2.0, 0.0, 1.0, 0.0], dtype=np.float32)
+_CODE3_U1 = np.asarray([0.0, 2.0, 1.0, 0.0], dtype=np.float32)
 
 
 def _assign_codes3(rgb_f, c0_16, c1_16):
@@ -436,8 +478,8 @@ def _hq3_color_words(rgb, init_c0, init_c1):
     best = (init_c0, init_c1, codes)
 
     for _ in range(2):
-        e0, e1 = _least_squares_endpoints(rgb_f, codes,
-                                          w0_tab=_CODE3_W0, w1_tab=_CODE3_W1)
+        e0, e1 = _least_squares_endpoints(rgb_f, codes, w0_tab=_CODE3_U0,
+                                          w1_tab=_CODE3_U1, scale=2)
         c0, c1 = _quantize_endpoints(e0, e1)
         codes, err = _assign_codes3(rgb_f, c0, c1)
         improved = err < best_err
@@ -625,25 +667,43 @@ def _tab8(codes, tab):
     return out
 
 
+# Integer-scaled (x7 interp, x5 explicit — the free 0/255 entries already
+# folded in as zeros) alpha LS weights; see _least_squares_endpoints for
+# why integer summands are required (exact, backend-independent sums).
+_ALPHA_U0_INTERP = np.asarray([7, 0, 6, 5, 4, 3, 2, 1], dtype=np.float32)
+_ALPHA_U1_INTERP = 7.0 - _ALPHA_U0_INTERP
+_ALPHA_U0_EXPL = np.asarray([5, 0, 4, 3, 2, 1, 0, 0], dtype=np.float32)
+_ALPHA_U1_EXPL = np.asarray([0, 5, 1, 2, 3, 4, 0, 0], dtype=np.float32)
+
+
 def _alpha_ls(a, codes, interp: bool):
-    """Least-squares alpha endpoints for fixed codes under one scheme."""
-    af = a.astype(jnp.float32)
-    w0 = _tab8(codes, _ALPHA_W0_INTERP if interp else _ALPHA_W0_EXPL)
-    free = (jnp.ones_like(w0)
-            if interp else _tab8(codes, _ALPHA_FREE_EXPL))
-    w1 = (1.0 - w0) * free
-    w0 = w0 * free
+    """Least-squares alpha endpoints for fixed codes under one scheme
+    (integer-scaled exact solve; see _least_squares_endpoints)."""
+    ai = a.astype(jnp.int32)
+    if interp:
+        w0 = _tab8(codes, _ALPHA_U0_INTERP).astype(jnp.int32)
+        w1 = _tab8(codes, _ALPHA_U1_INTERP).astype(jnp.int32)
+        free = jnp.ones_like(w0)
+        s = 7.0
+    else:
+        w0 = _tab8(codes, _ALPHA_U0_EXPL).astype(jnp.int32)
+        w1 = _tab8(codes, _ALPHA_U1_EXPL).astype(jnp.int32)
+        free = _tab8(codes, _ALPHA_FREE_EXPL).astype(jnp.int32)
+        s = 5.0
     a00 = jnp.sum(w0 * w0, axis=1)
     a01 = jnp.sum(w0 * w1, axis=1)
     a11 = jnp.sum(w1 * w1, axis=1)
-    b0 = jnp.sum(w0 * af, axis=1)
-    b1 = jnp.sum(w1 * af, axis=1)
-    det = a00 * a11 - a01 * a01
-    safe = jnp.abs(det) > 1e-6
-    det = jnp.where(safe, det, 1.0)
-    x0 = (a11 * b0 - a01 * b1) / det
-    x1 = (a00 * b1 - a01 * b0) / det
-    mean = jnp.sum(af * free, axis=1) / jnp.maximum(jnp.sum(free, axis=1), 1.0)
+    b0 = jnp.sum(w0 * ai, axis=1)
+    b1 = jnp.sum(w1 * ai, axis=1)
+    det = a00 * a11 - a01 * a01  # exact int32
+    safe = det != 0
+    det_f = jnp.where(safe, det, 1).astype(jnp.float32)
+    # int32 numerators (|.| <= 49*16 * 7*255*16 ~ 2.3e7 < 2^31); see
+    # _least_squares_endpoints.
+    x0 = s * (a11 * b0 - a01 * b1).astype(jnp.float32) / det_f
+    x1 = s * (a00 * b1 - a01 * b0).astype(jnp.float32) / det_f
+    mean = (jnp.sum(ai * free, axis=1).astype(jnp.float32)
+            / jnp.maximum(jnp.sum(free, axis=1), 1).astype(jnp.float32))
     x0 = jnp.where(safe, x0, mean)
     x1 = jnp.where(safe, x1, mean)
     r = lambda v: jnp.clip(jnp.round(v), 0, 255).astype(jnp.int32)

@@ -708,11 +708,10 @@ def _encode_etc1_hq_blocks_pallas(rgb: jax.Array,
     best = None
     for flip in (False, True):
         qs = _hq_base_candidates(rgb, flip)
-        rows = []
-        for q in qs:
-            rows.append(ep._pack_q_word(q[0], q[2]))  # subblock 1
-            rows.append(ep._pack_q_word(q[1], q[3]))  # subblock 2
-        cands = jnp.stack(rows, axis=0)  # (2K, N)
+        cands = jnp.stack(
+            [jnp.stack([ep._pack_q_word(q[0], q[2]),    # subblock 1
+                        ep._pack_q_word(q[1], q[3])])   # subblock 2
+             for q in qs], axis=0)  # (K, 2, N)
         hi, lo, err = ep.etc1_hq_search(
             words_nat if flip else words_perm, cands, flip,
             interpret=interpret)

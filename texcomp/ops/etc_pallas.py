@@ -680,7 +680,7 @@ def _etc1_hq_kernel(px_ref, cand_ref, hi_lo_ref, err_ref,
     # --- phase select: write the step's candidate words into qsel ---
     @pl.when(k < n_steps_a)
     def _phase_a():
-        qsel[:] = cand_ref[:]
+        qsel[:] = cand_ref[0]
 
     for r in range(_HQ_REFITS):
         @pl.when(k == n_steps_a + r)
@@ -729,15 +729,20 @@ def etc1_hq_search(words: jax.Array, cands: jax.Array, flip: bool,
 
     words: (16, N) uint32 packed pixels in the flip's subblock-contiguous
     row order (natural for flip=True, _PERM_F for flip=False).
-    cands: (2*K, N) uint32 packed base candidates (2 rows per candidate).
+    cands: (K, 2, N) uint32 packed base candidates (2 words per candidate,
+    one per subblock; the leading axis keeps the (2, tile) block equal to
+    the trailing array dims — Mosaic rejects a (2, tile) block over a
+    (2K, N) array because 2 is neither 8-divisible nor the array extent).
     Returns (hi, lo, err): (N,) logical uint32 words + (N,) float32 exact
     block error. Candidate order = scan order = tie-break order, then 2
     alternating refits, then 24 ±1 probes (codecs.etc HQ families)."""
     n = words.shape[1]
-    n_cand = cands.shape[0] // 2
+    n_cand = cands.shape[0]
     tile = _tile_for(n)
     words = _pad_lanes(words, tile)
-    cands = _pad_lanes(cands, tile)
+    pad = (-n) % tile
+    if pad:
+        cands = jnp.pad(cands, ((0, 0), (0, 0), (0, pad)))
     np_ = words.shape[1]
     n_steps = n_cand + _HQ_REFITS + _HQ_PROBES
     hi_lo, err = pl.pallas_call(
@@ -746,8 +751,8 @@ def etc1_hq_search(words: jax.Array, cands: jax.Array, flip: bool,
         in_specs=[
             pl.BlockSpec((16, tile), lambda i, k: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, tile),
-                         lambda i, k: (jnp.minimum(k, n_cand - 1), i),
+            pl.BlockSpec((1, 2, tile),
+                         lambda i, k: (jnp.minimum(k, n_cand - 1), 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
