@@ -324,6 +324,47 @@ def bench_pipeline_fleet() -> float:
     return total_pix / total_dt / 1e6
 
 
+def bench_pipeline_fleet_hq() -> float:
+    """Config-5 fleet with quality enabled on a realistic fraction: 10% of
+    every (codec, size) cell re-encodes through the HQ extension encoders
+    (hero assets), the rest through the reference-parity path. Same
+    distribution and timing discipline as bench_pipeline_fleet; the
+    number is the blended fleet throughput, so it is only fleet-viable if
+    the HQ paths are fast (VERDICT r4 #6)."""
+    from texcomp.dist.pipeline import _batch_encode
+
+    rng = np.random.default_rng(0)
+    total_dt = 0.0
+    total_pix = 0
+    for codec, ch in _FLEET_CODECS:
+        def _put(size, count, ch=ch):
+            arr = rng.integers(0, 256, (count, size, size, ch),
+                               dtype=np.uint8)
+            if ch == 4:
+                arr = arr.view(np.uint32).reshape(count, size, size)
+            return jax.device_put(arr)
+
+        batches = []
+        for size, count in _FLEET_DIST:
+            n_hq = max(1, count // 10)
+            batches.append((_put(size, count - n_hq), _put(size, n_hq)))
+            total_pix += count * size * size
+        batches = tuple(batches)
+
+        def op(xs, codec=codec):
+            sums = []
+            for std, hq in xs:
+                a = _batch_encode(std, codec, 2)
+                b = _batch_encode(hq, codec, 2, quality="high")
+                sums.append(a.astype(jnp.uint32).sum()
+                            + b.astype(jnp.uint32).sum())
+            return jnp.stack(sums)
+
+        total_dt += _time_op(op, batches, iters=3, reps=2)
+        del batches
+    return total_pix / total_dt / 1e6
+
+
 def bench_pipeline_fleet_e2e(scale: int = 1) -> float:
     """End-to-end wall clock of the REAL AssetPipeline.run() on the O(10k)
     mixed fleet: host stacking, H2D, sharded dispatch, D2H, container
@@ -371,6 +412,7 @@ _EXTRA_BENCHES = {
     "etc1_encode_2048": bench_etc1_encode_2048,    # scale-probe guard
     "pipeline_mixed": bench_pipeline,       # BASELINE config 5 (1-chip slice)
     "pipeline_fleet": bench_pipeline_fleet,  # BASELINE config 5 (10k fleet)
+    "pipeline_fleet_hq": bench_pipeline_fleet_hq,  # config 5, 10% HQ assets
     "transcode_dxt1_etc1": bench_transcode,
     "dxt1_decode": bench_dxt1_decode,
     "etc1_decode": bench_etc1_decode,

@@ -399,6 +399,47 @@ def test_pipeline_hq_quality(rng):
             np.asarray(ci.get_data()), err_msg=f"p{i}")
 
 
+def test_pipeline_fleet_mixed_quality_parity(rng):
+    """One pipeline.run over a MIXED fleet — every codec, reference and
+    high quality interleaved (the bench_pipeline_fleet_hq shape) — must
+    match the single-asset API byte-for-byte for every asset."""
+    from jax.sharding import Mesh
+
+    from texcomp import (CompressedImage, DxtcCompressor, EtcCompressor,
+                         Format, PvrtcCompressor)
+
+    _need_devices(2)
+    pipeline = AssetPipeline(Mesh(np.array(jax.devices()[:2]), ("data",)))
+
+    codecs = {
+        "dxt1": (3, Format.RGB, lambda q: DxtcCompressor(quality=q)),
+        "dxt5": (4, Format.RGBA, lambda q: DxtcCompressor(quality=q)),
+        "etc1": (3, Format.RGB, lambda q: EtcCompressor(quality=q)),
+        "pvrtc": (4, Format.RGBA, lambda q: PvrtcCompressor(quality=q)),
+    }
+    assets, imgs = [], {}
+    for codec, (ch, _fmt, _mk) in codecs.items():
+        for q in ("reference", "high"):
+            for i in range(2):
+                name = f"{codec}_{q}_{i}"
+                img = make_test_image(rng, 16, 16, ch)
+                imgs[name] = img
+                assets.append(TextureAsset(name, img, codec, quality=q))
+    results = pipeline.run(assets)
+
+    for codec, (ch, fmt, mk) in codecs.items():
+        for q in ("reference", "high"):
+            comp = mk(q)
+            for i in range(2):
+                name = f"{codec}_{q}_{i}"
+                ci = CompressedImage()
+                assert comp.compress(fmt, 16, 16, 0,
+                                     imgs[name].tobytes(), ci)
+                np.testing.assert_array_equal(
+                    np.asarray(results[name].get_data()),
+                    np.asarray(ci.get_data()), err_msg=name)
+
+
 def test_pvrtc_atlas_sharded_matches_single_device(rng):
     """PVRTC block-row sharding: the upscale/mode-decision halo exchanges
     (ppermute over "data") reproduce the single-device wrap exactly."""
