@@ -159,14 +159,23 @@ def _pca_project(rgb_f):
             cov[i][j] = cov[j][i] = cij.astype(jnp.float32)
     mean = (s.astype(jnp.float32) / 16.0)[:, None, :]  # (N, 1, 3)
     v = [jnp.ones((n,), jnp.float32) for _ in range(3)]
+    # _nc (no-contract): pin every fractional product to a materialized
+    # f32 before the adjacent add. XLA's FMA contraction keeps the
+    # infinitely-precise product on one backend and rounds it on the
+    # other (TPU VPU fma vs CPU mul+add), which flipped downstream
+    # quantized codes on ~0.1% of blocks (tools/tpu_parity_smoke.py).
+    # Integer-valued products are immune (exact either way) — only the
+    # fractional chains below need the barrier.
+    _nc = jax.lax.optimization_barrier
     for _ in range(3):
-        w = [cov[i][0] * v[0] + cov[i][1] * v[1] + cov[i][2] * v[2]
-             for i in range(3)]
-        nrm = jnp.sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2]) + 1e-6
+        w = [_nc(cov[i][0] * v[0]) + _nc(cov[i][1] * v[1])
+             + _nc(cov[i][2] * v[2]) for i in range(3)]
+        nrm = jnp.sqrt(_nc(w[0] * w[0]) + _nc(w[1] * w[1])
+                       + _nc(w[2] * w[2])) + 1e-6
         v = [wi / nrm for wi in w]
     d = rgb_f - mean  # (N, 16, 3) — exact (x/16 fractions)
-    t = (d[:, :, 0] * v[0][:, None] + d[:, :, 1] * v[1][:, None]
-         + d[:, :, 2] * v[2][:, None])  # (N, 16)
+    t = (_nc(d[:, :, 0] * v[0][:, None]) + _nc(d[:, :, 1] * v[1][:, None])
+         + _nc(d[:, :, 2] * v[2][:, None]))  # (N, 16)
     return mean, jnp.stack(v, axis=-1), t
 
 
@@ -176,8 +185,9 @@ def _pca_endpoints(rgb_f, proj=None):
     mean, v, t = _pca_project(rgb_f) if proj is None else proj
     tmin = jnp.min(t, axis=1, keepdims=True)
     tmax = jnp.max(t, axis=1, keepdims=True)
-    e0 = mean[:, 0, :] + tmin * v  # (N, 3)
-    e1 = mean[:, 0, :] + tmax * v
+    _nc = jax.lax.optimization_barrier  # see _pca_project
+    e0 = mean[:, 0, :] + _nc(tmin * v)  # (N, 3)
+    e1 = mean[:, 0, :] + _nc(tmax * v)
     e0 = jnp.clip(e0, 0.0, 255.0)
     e1 = jnp.clip(e1, 0.0, 255.0)
     return ([e0[:, c] for c in range(3)], [e1[:, c] for c in range(3)])
@@ -296,10 +306,14 @@ def _cluster_fit_chunk(rgb_f, t, topk):
     sel = jnp.asarray(_CF_SEL)  # (17, P)
     score = jnp.zeros((n, _CF_SEL.shape[1]), jnp.float32)
     quu, qut = jnp.asarray(_CF_QUU), jnp.asarray(_CF_QUT)
+    _nc = jax.lax.optimization_barrier  # see _pca_project (no-contract)
     for c in range(3):
-        uc = jnp.matmul(p[:, :, c], sel, precision=_F32)  # (C, P)
-        score = score + (quu[None, :] * uc + qut[None, :] * pt[:, c, None]) * uc
-    score = score + jnp.asarray(_CF_QTT)[None, :] * jnp.sum(pt * pt, -1)[:, None]
+        uc = jnp.matmul(p[:, :, c], sel, precision=_F32)  # (C, P) int-exact
+        score = score + _nc(
+            (_nc(quu[None, :] * uc) + _nc(qut[None, :] * pt[:, c, None]))
+            * uc)
+    score = score + _nc(
+        jnp.asarray(_CF_QTT)[None, :] * jnp.sum(pt * pt, -1)[:, None])
     score = jax.lax.optimization_barrier(score)
     _, idx = jax.lax.top_k(score, topk)  # (C, topk)
     idx = jax.lax.optimization_barrier(idx)
@@ -321,8 +335,8 @@ def _cluster_fit_chunk(rgb_f, t, topk):
         al, be, de = picked[:, 17:18], picked[:, 18:19], picked[:, 19:20]
         b0 = uk / 3.0
         b1 = pt - b0
-        e0 = jnp.clip(al * b0 + be * b1, 0.0, 255.0)
-        e1 = jnp.clip(be * b0 + de * b1, 0.0, 255.0)
+        e0 = jnp.clip(_nc(al * b0) + _nc(be * b1), 0.0, 255.0)
+        e1 = jnp.clip(_nc(be * b0) + _nc(de * b1), 0.0, 255.0)
         c0, c1 = _quantize_endpoints(
             [e0[:, c] for c in range(3)], [e1[:, c] for c in range(3)]
         )

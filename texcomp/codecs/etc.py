@@ -417,19 +417,36 @@ def _cluster_fit_bases(rgb: jax.Array, flip: bool, iters: int = 2,
     mean1 = jnp.sum(rgbf * m0[:, :, None], axis=1) / 8.0    # (N, 3)
     mean2 = jnp.sum(rgbf * m1[:, :, None], axis=1) / 8.0
 
-    lum = jnp.mean(rgbf, axis=2)                        # (N, 16)
+    # EXACT cross-backend arithmetic (tools/tpu_parity_smoke.py): the
+    # split seed runs in int32 — luminance as the x3 channel sum, the
+    # above/below split by cross-multiplied integer compare, and the
+    # centroid midpoint rounded to exact eighths via integer
+    # round-half-up — so the seeds (like the mean seeds, which are /8
+    # sums) are exact f32 eighths. From eighths-valued seeds every
+    # downstream product in `assign` stays <= 2^24 with 1/64 fractions,
+    # i.e. exact, and the whole alternation is backend-independent
+    # (fractional divides here were CPU-vs-TPU ulp-divergent).
+    lum3 = jnp.sum(rgb, axis=2).astype(jnp.int32)       # (N, 16) x3 lum
+    mask0i = mask0.astype(jnp.int32)[None, :]
+    m1i = 1 - mask0i
 
-    def split_seed(maskf):
-        mlum = jnp.sum(lum * maskf, axis=1, keepdims=True) / 8.0
-        hi_m = (lum >= mlum) * maskf
-        lo_m = maskf - hi_m
-        hi_n = jnp.maximum(jnp.sum(hi_m, axis=1, keepdims=True), 1.0)
-        lo_n = jnp.maximum(jnp.sum(lo_m, axis=1, keepdims=True), 1.0)
-        hi_c = jnp.sum(rgbf * hi_m[:, :, None], axis=1) / hi_n
-        lo_c = jnp.sum(rgbf * lo_m[:, :, None], axis=1) / lo_n
-        return 0.5 * (hi_c + lo_c)
+    def split_seed(maski):
+        slum = jnp.sum(lum3 * maski, axis=1, keepdims=True)  # x24 mean
+        hi_m = ((8 * lum3 >= slum) & (maski == 1)).astype(jnp.int32)
+        lo_m = maski - hi_m
+        hi_n = jnp.maximum(jnp.sum(hi_m, axis=1), 1)    # (N,)
+        lo_n = jnp.maximum(jnp.sum(lo_m, axis=1), 1)
+        s_hi = jnp.sum(rgb * hi_m[:, :, None], axis=1)  # (N, 3) int
+        s_lo = jnp.sum(rgb * lo_m[:, :, None], axis=1)
+        # midpoint (s_hi/hi_n + s_lo/lo_n)/2 rounded half-up to eighths:
+        # a/b with a = 8*(s_hi*lo_n + s_lo*hi_n), b = 2*hi_n*lo_n, all
+        # exact int32 (|a| <= 8*2*2040*8 = 261120).
+        a = 8 * (s_hi * lo_n[:, None] + s_lo * hi_n[:, None])
+        b = 2 * (hi_n * lo_n)[:, None]
+        eighths = (2 * a + b) // (2 * b)
+        return eighths.astype(jnp.float32) / 8.0
 
-    seeds = [(mean1, mean2), (split_seed(m0), split_seed(m1))]
+    seeds = [(mean1, mean2), (split_seed(mask0i), split_seed(m1i))]
     if extra_seeds:
         seeds += list(extra_seeds)
 
