@@ -266,3 +266,35 @@ def test_cluster_fit_chunked_matches_single_chunk(rng, monkeypatch):
     assert np.mean(diff == 0) >= 0.99, f"{(diff > 0).sum()} blocks differ"
     rel = diff / np.maximum(np.minimum(es, ec), 1.0)
     assert np.max(rel) < 0.05, f"max relative error diff {rel.max()}"
+
+
+def test_hq_image_entries_match_blocks_route(rng):
+    """encode_dxt{1,5}_hq_image (packed-word block extraction) is
+    byte-identical to encode_*_hq_blocks(image_to_blocks(im)) — the image
+    entries only restructure the transpose, never the search."""
+    import jax.numpy as jnp
+
+    from texcomp.blocks import image_to_blocks
+
+    img3 = _natural_image(rng, 64, 48, 3)
+    img4 = _natural_image(rng, 48, 64, 4)
+
+    want1 = np.asarray(dxt_hq.encode_dxt1_hq_blocks(
+        image_to_blocks(jnp.asarray(img3))))
+    got1 = np.asarray(dxt_hq.encode_dxt1_hq_image(jnp.asarray(img3)))
+    np.testing.assert_array_equal(want1, got1)
+
+    blocks4 = image_to_blocks(jnp.asarray(img4))
+    outside = jnp.zeros((blocks4.shape[0],), bool)
+    want5 = np.asarray(dxt_hq.encode_dxt5_hq_blocks(blocks4, outside))
+    got5 = np.asarray(dxt_hq.encode_dxt5_hq_image(jnp.asarray(img4)))
+    np.testing.assert_array_equal(want5, got5)
+
+    # BGR/BGRA sources: raw swapped image + flag == pre-swapped blocks
+    # + flag (the packed route swaps at pack time).
+    bgr = img3[:, :, ::-1].copy()
+    want1b = np.asarray(dxt_hq.encode_dxt1_hq_blocks(
+        image_to_blocks(jnp.asarray(img3)), swap_red_and_blue=True))
+    got1b = np.asarray(dxt_hq.encode_dxt1_hq_image(
+        jnp.asarray(bgr), swap_red_and_blue=True))
+    np.testing.assert_array_equal(want1b, got1b)

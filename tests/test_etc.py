@@ -261,3 +261,17 @@ def test_transcode_hq_never_worse(rng):
 
     with pytest.raises(ValueError):
         transcode_dxt1_to_etc1(ci, quality="ultra")
+
+
+def test_etc_hq_image_entry_matches_blocks_route(rng):
+    """encode_etc1_hq_image (packed-word block extraction) is
+    byte-identical to encode_etc1_hq_blocks(image_to_blocks(im))."""
+    import jax.numpy as jnp
+
+    from texcomp.blocks import image_to_blocks
+
+    img = make_test_image(rng, 64, 48, 3)
+    want = np.asarray(etc_codec.encode_etc1_hq_blocks(
+        image_to_blocks(jnp.asarray(img))))
+    got = np.asarray(etc_codec.encode_etc1_hq_image(jnp.asarray(img)))
+    np.testing.assert_array_equal(want, got)

@@ -321,3 +321,34 @@ def test_etc1_hq_kernel_parity(rng):
     ker = np.asarray(etc._encode_etc1_hq_blocks_pallas(jnp.asarray(rgb),
                                                        interpret=True))
     np.testing.assert_array_equal(ref, ker)
+
+
+def test_cluster_topk4_kernel_matches_jnp(rng):
+    """The HQ cluster-fit top-4 kernel (interpret mode) produces the same
+    quantized endpoint candidates as the jnp integer-exact score + iterated
+    argmax route — same scores, same tie-breaks, same payloads."""
+    from texcomp import ops as _ops
+    from texcomp.codecs import dxt_hq
+    from texcomp.ops import dxt_pallas as dp
+
+    rgb = rng.integers(0, 256, (700, 16, 3)).astype(np.int32)
+    # Ties on purpose: constant blocks and 2-value blocks.
+    rgb[:40] = rgb[:40, :1, :]
+    rgb[40:80, 8:] = rgb[40:80, :8]
+    rgb_f = jnp.asarray(rgb).astype(jnp.float32)
+
+    want = dxt_hq._cluster_fit_candidates(rgb_f)  # CPU jnp route
+
+    orig_topk4, orig_up = dp.cluster_topk4, _ops.use_pallas
+    try:
+        _ops.use_pallas = lambda: True
+        dp.cluster_topk4 = lambda p72, selt, qtab: orig_topk4(
+            p72, selt, qtab, interpret=True)
+        got = dxt_hq._cluster_fit_candidates(rgb_f)
+    finally:
+        _ops.use_pallas = orig_up
+        dp.cluster_topk4 = orig_topk4
+
+    for (wc0, wc1), (gc0, gc1) in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(wc0), np.asarray(gc0))
+        np.testing.assert_array_equal(np.asarray(wc1), np.asarray(gc1))

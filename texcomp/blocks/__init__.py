@@ -10,10 +10,12 @@ pad+reshape, and codecs map over the block axis.
 from texcomp.blocks.grid import (
     extract_blocks,
     full_outside_mask,
+    blocks_from_packed_words,
     image_to_blocks,
     num_blocks,
     scatter_blocks,
 )
 
-__all__ = ["extract_blocks", "full_outside_mask", "image_to_blocks",
-           "num_blocks", "scatter_blocks"]
+__all__ = ["blocks_from_packed_words", "extract_blocks",
+           "full_outside_mask", "image_to_blocks", "num_blocks",
+           "scatter_blocks"]

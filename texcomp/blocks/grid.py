@@ -62,10 +62,28 @@ def extract_blocks(
 def image_to_blocks(image: jax.Array) -> jax.Array:
     """(H, W, C) uint8 -> (N, 16, C) int32 for ALIGNED images (H and W
     multiples of 4): the zero-padding fast path used by batched/sharded
-    pipelines. Ragged sizes go through :func:`extract_blocks`."""
+    pipelines. Ragged sizes go through :func:`extract_blocks`.
+
+    Device-path callers should prefer pack_rgb_image/pack_rgba_image +
+    :func:`blocks_from_packed_words`: XLA lowers this 5-D int32 transpose
+    (minor dims (4, 4, C)) as a generic element-wise transpose — ~8-18 ms
+    fused into the HQ encoders at 1024^2 vs ~0.3 ms for the packed-word
+    route (tools/profile_etc_hq_scale.py)."""
     h, w, c = image.shape
     blk = image.astype(jnp.int32).reshape(h // 4, 4, w // 4, 4, c)
     return blk.transpose(0, 2, 1, 3, 4).reshape(-1, 16, c)
+
+
+def blocks_from_packed_words(words: jax.Array, channels: int) -> jax.Array:
+    """(16, N) uint32 packed pixel words (pack_rgb_image/pack_rgba_image
+    layout: pixel y*4+x on sublanes, blocks row-major on lanes) ->
+    (N, 16, C) int32 blocks, byte-identical to :func:`image_to_blocks` on
+    the packing's source image. 32-bit lane math only: one 2-D u32
+    transpose + byte unpack instead of the slow generic 5-D transpose."""
+    wt = words.T  # (N, 16) uint32 — fast 32-bit transpose
+    chs = [((wt >> jnp.uint32(8 * c)) & jnp.uint32(255)).astype(jnp.int32)
+           for c in range(channels)]
+    return jnp.stack(chs, axis=-1)
 
 
 def full_outside_mask(

@@ -18,7 +18,7 @@ Typical gain over the reference encoder: +2-4 dB PSNR on natural content.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -260,6 +260,56 @@ def _cluster_tables():
 _CLUSTER_TOPK = 4
 
 
+def _round_bf16(x: np.ndarray) -> np.ndarray:
+    """Round f32 values to the nearest bfloat16 (round-half-even),
+    returned as f32. Score constants are pre-split into bf16 hi + lo
+    components so every score product multiplies two <= 8-bit mantissas —
+    exactly representable in f32, which makes fma contraction a no-op
+    (fma(a, b, c) == round(a*b) + c when a*b is exact) and the score
+    bit-identical across XLA CPU, XLA TPU, and Mosaic without any
+    optimization_barrier (barriers do not survive Mosaic/interpret
+    lowering)."""
+    u = x.astype(np.float32).view(np.uint32)
+    u = (u + np.uint32(0x7FFF) + ((u >> np.uint32(16)) & np.uint32(1)))
+    return (u & np.uint32(0xFFFF0000)).view(np.float32)
+
+
+def _split_bf16(x: np.ndarray):
+    """f32 -> (hi, lo) bf16-representable f32 pair, hi + lo accurate to
+    ~2^-16 relative — one bf16 component alone (2^-8) mis-ranked enough
+    near-tied partitions to cost 0.15-0.19 dB on the QUALITY.md photos."""
+    xf = x.astype(np.float32)
+    hi = _round_bf16(xf)
+    lo = _round_bf16((xf - hi).astype(np.float32))
+    return hi, lo
+
+
+@lru_cache(maxsize=1)
+def _cf_device_tables():
+    """Padded partition tables for ops.dxt_pallas.cluster_topk4: selt
+    (P4, 24) prefix-selection rows, qtab (P4, 16) = [quu_h, quu_l,
+    qut_h, qut_l, qtt_h, qtt_l, bias, 0, alpha, beta, delta, 0...] with
+    the score constants bf16 hi/lo-split (see _split_bf16); pad rows
+    select nothing and carry a bias below any real score so they never
+    reach the top-4."""
+    from texcomp.ops.dxt_pallas import _CF_NEG
+
+    p = _CF_SEL.shape[1]
+    p4 = ((p + 127) // 128) * 128
+    selt = np.zeros((p4, 24), np.float32)
+    selt[:p, :17] = _CF_SEL.T
+    qtab = np.zeros((p4, 16), np.float32)
+    for col, const in ((0, _CF_QUU), (2, _CF_QUT), (4, _CF_QTT)):
+        hi, lo = _split_bf16(const)
+        qtab[:p, col] = hi
+        qtab[:p, col + 1] = lo
+    qtab[p:, 6] = _CF_NEG
+    qtab[:p, 8] = _CF_ALPHA
+    qtab[:p, 9] = _CF_BETA
+    qtab[:p, 10] = _CF_DELTA
+    return selt, qtab
+
+
 # Blocks per cluster-fit chunk: bounds the live (chunk, P) f32 planes to
 # ~250 MB regardless of image size (a whole-image 8192² HQ encode would
 # otherwise materialize a 16 GB score plane).
@@ -300,39 +350,78 @@ def _cluster_fit_chunk(rgb_f, t, topk):
     # (measured 5x: ~1.5 s vs ~0.3 s at N=16384 on CPU).
     p = jax.lax.optimization_barrier(p)
     pt = p[:, 16, :]  # (C, 3)
-    # Score per channel so only (C, P) planes exist — never a (C, P, 3)
-    # tensor (XLA recomputed it per consumer when fully fused: 3.8 s ->
-    # ~0.2 s at N=16384 on CPU).
-    sel = jnp.asarray(_CF_SEL)  # (17, P)
-    score = jnp.zeros((n, _CF_SEL.shape[1]), jnp.float32)
-    quu, qut = jnp.asarray(_CF_QUU), jnp.asarray(_CF_QUT)
     _nc = jax.lax.optimization_barrier  # see _pca_project (no-contract)
-    for c in range(3):
-        uc = jnp.matmul(p[:, :, c], sel, precision=_F32)  # (C, P) int-exact
-        score = score + _nc(
-            (_nc(quu[None, :] * uc) + _nc(qut[None, :] * pt[:, c, None]))
-            * uc)
-    score = score + _nc(
-        jnp.asarray(_CF_QTT)[None, :] * jnp.sum(pt * pt, -1)[:, None])
-    score = jax.lax.optimization_barrier(score)
-    _, idx = jax.lax.top_k(score, topk)  # (C, topk)
-    idx = jax.lax.optimization_barrier(idx)
 
-    # Per-pick selection: one one-hot f32 matmul against the small
-    # (P, 20) pick table (avoids both the ~10 ns/element gather tax and
-    # any (C, P)-sized recompute — see CLAUDE.md playbook), then the
-    # 17-long sel row contracts the per-block prefix sums to u.
-    npart = _CF_SEL.shape[1]
-    pick_tab = jnp.asarray(_CF_PICK)  # (P, 20)
+    # Partition scoring + top-4 selection. Both paths compute the SAME
+    # integer-exact terms (uc, A = sum uc^2, B = sum pt*uc, ptt — all
+    # int32-exact, so order-free) and the SAME fixed f32 combine tree
+    # ((quu*A + qut*B) + qtt*ptt), so scores and therefore picks are
+    # bit-identical across backends:
+    #   * Pallas kernel (accelerators): every (tile, 128)-partition score
+    #     lives in VMEM — the barrier-pinned XLA route materializes
+    #     several (C, 969) f32 HBM planes (~11 ms of the 16.7 ms FULL at
+    #     1024^2, tools/profile_hq_stages.py "cur +score").
+    #   * jnp route (CPU / ground truth): HIGHEST-precision matmuls for
+    #     uc, int32 A/B, barrier-pinned f32 combine, then top-4 by
+    #     ITERATED argmax + index masking (ties to the lowest partition
+    #     index — the kernel's strict-> insertion matches exactly).
+    # Each pick's payload is (u (3,), alpha, beta, delta); the shared
+    # tail below turns payloads into quantized 565 endpoint candidates.
+    from texcomp import ops as _ops
+
+    picks = []  # topk x (uk (C, 3), al, be, de (C, 1))
+    if _ops.use_pallas() and topk == _CLUSTER_TOPK:
+        from texcomp.ops.dxt_pallas import cluster_topk4
+
+        selt, qtab = _cf_device_tables()
+        p72 = jnp.pad(p, ((0, 0), (0, 7), (0, 0)))  # (C, 24, 3)
+        p72 = p72.transpose(2, 1, 0).reshape(72, n)
+        payload = cluster_topk4(p72, jnp.asarray(selt), jnp.asarray(qtab))
+        for k in range(topk):
+            uk = payload[6 * k:6 * k + 3].T  # (C, 3)
+            al = payload[6 * k + 3][:, None]
+            be = payload[6 * k + 4][:, None]
+            de = payload[6 * k + 5][:, None]
+            picks.append((uk, al, be, de))
+    else:
+        from texcomp.ops.dxt_pallas import cf_score
+
+        _, qtab_np = _cf_device_tables()
+        npart = _CF_SEL.shape[1]
+        sel = jnp.asarray(_CF_SEL)  # (17, P)
+        pti = pt.astype(jnp.int32)
+        ptt_i = (pti[:, 0] * pti[:, 0] + pti[:, 1] * pti[:, 1]
+                 + pti[:, 2] * pti[:, 2])[:, None]
+        uc = [jnp.matmul(p[:, :, c], sel, precision=_F32).astype(jnp.int32)
+              for c in range(3)]  # (C, P) exact ints
+        a_i = uc[0] * uc[0] + uc[1] * uc[1] + uc[2] * uc[2]
+        b_i = (pti[:, 0:1] * uc[0] + pti[:, 1:2] * uc[1]
+               + pti[:, 2:3] * uc[2])
+        # Contraction-immune score, the kernel's exact twin (cf_score:
+        # same op tree, bf16 hi/lo-split factors, exact products — XLA's
+        # fma choices cannot change a bit on any backend).
+        qrow = lambda col: jnp.asarray(qtab_np[:npart, col])[None, :]
+        score = cf_score(a_i, b_i, ptt_i, qrow(0), qrow(1), qrow(2),
+                         qrow(3), qrow(4), qrow(5))
+        score = jax.lax.optimization_barrier(score)
+
+        npart = _CF_SEL.shape[1]
+        pick_tab = jnp.asarray(_CF_PICK)  # (P, 20)
+        iota_p = jax.lax.broadcasted_iota(jnp.int32, (1, npart), 1)
+        for k in range(topk):
+            kidx = jnp.argmax(score, axis=1)  # (C,) first-occurrence max
+            onehot = (kidx[:, None] == iota_p).astype(jnp.float32)
+            if k + 1 < topk:
+                score = jax.lax.optimization_barrier(
+                    jnp.where(onehot != 0.0, -jnp.inf, score))
+            picked = jnp.matmul(onehot, pick_tab, precision=_F32)  # (C, 20)
+            w = picked[:, :17]  # per-block sel row (counts 0..3)
+            uk = jnp.einsum("ni,nic->nc", w, p, precision=_F32)  # exact ints
+            picks.append((uk, picked[:, 17:18], picked[:, 18:19],
+                          picked[:, 19:20]))
+
     c0s, c1s = [], []
-    for k in range(topk):
-        onehot = (
-            idx[:, k, None] == jax.lax.broadcasted_iota(jnp.int32, (1, npart), 1)
-        ).astype(jnp.float32)  # (C, P)
-        picked = jnp.matmul(onehot, pick_tab, precision=_F32)  # (C, 20)
-        w = picked[:, :17]  # per-block sel row (counts 0..3)
-        uk = jnp.einsum("ni,nic->nc", w, p, precision=_F32)  # (C, 3)
-        al, be, de = picked[:, 17:18], picked[:, 18:19], picked[:, 19:20]
+    for uk, al, be, de in picks:
         b0 = uk / 3.0
         b1 = pt - b0
         e0 = jnp.clip(_nc(al * b0) + _nc(be * b1), 0.0, 255.0)
@@ -568,21 +657,25 @@ _ROW_SHIFTS = np.asarray([8 * (p // 4) + 2 * (p % 4) for p in range(16)],
                          dtype=np.uint32)
 
 
-def _ref_dxt1_candidate(rgb, always4: bool, swap: bool):
+def _ref_dxt1_candidate(rgb, always4: bool, swap: bool, pixel_words=None):
     """The reference encoder's block as (c0_16, c1_16, codes, rows): the
     never-worse baseline candidate. On accelerators this runs the Pallas
     word-emitting kernel (bit-identical to the jnp path, test_pallas.py;
     ~160x faster than the XLA encode at 1024^2); on CPU the jnp
-    reference-parity path."""
+    reference-parity path. ``pixel_words``: optional (16, N) uint32
+    packed pixels (pack_rgb_image layout) — the image entry points pass
+    them through so the kernel input needs no repack/transpose."""
     from texcomp import ops as _ops
 
     if _ops.use_pallas():
         from texcomp.ops import dxt_pallas
 
-        px = (rgb[:, :, 0].astype(jnp.uint32)
-              | (rgb[:, :, 1].astype(jnp.uint32) << 8)
-              | (rgb[:, :, 2].astype(jnp.uint32) << 16))  # (N, 16)
-        words = dxt_pallas.encode_dxt1_words(px.T, always4=always4,
+        if pixel_words is None:
+            px = (rgb[:, :, 0].astype(jnp.uint32)
+                  | (rgb[:, :, 1].astype(jnp.uint32) << 8)
+                  | (rgb[:, :, 2].astype(jnp.uint32) << 16))  # (N, 16)
+            pixel_words = px.T
+        words = dxt_pallas.encode_dxt1_words(pixel_words, always4=always4,
                                              swap=swap)  # (2, N) uint32
         w0, w1 = words[0], words[1]
         c0 = (w0 & jnp.uint32(0xFFFF)).astype(jnp.int32)
@@ -599,10 +692,8 @@ def _ref_dxt1_candidate(rgb, always4: bool, swap: bool):
     return c0, c1, codes, rows
 
 
-@partial(jax.jit, static_argnames=("swap_red_and_blue",))
-def encode_dxt1_hq_blocks(rgb: jax.Array,
-                          swap_red_and_blue: bool = False) -> jax.Array:
-    """(N, 16, 3) int32 -> (N, 8) uint8 high-quality DXT1 blocks.
+def _encode_dxt1_hq(rgb, swap_red_and_blue: bool, pixel_words=None):
+    """Shared body of encode_dxt1_hq_blocks / encode_dxt1_hq_image.
 
     Guaranteed per-block error <= the reference encoder's: both encodings
     are produced and the one with the smaller true decoded error wins (the
@@ -628,7 +719,8 @@ def encode_dxt1_hq_blocks(rgb: jax.Array,
     hq3, err_hq3 = _hq3_color_words(rgb, c0, c1)
 
     rc0, rc1, rcodes, rrows = _ref_dxt1_candidate(rgb, False,
-                                                  swap_red_and_blue)
+                                                  swap_red_and_blue,
+                                                  pixel_words)
     ref = dxt_ref._dxt1_bytes(rc0, rc1, rrows)
     err_ref = _block_error_from_words(rgb_f, rc0, rc1, rcodes, False)
 
@@ -639,6 +731,32 @@ def encode_dxt1_hq_blocks(rgb: jax.Array,
         out = jnp.where(better[:, None], cand, out)
         err = jnp.minimum(e, err)
     return out
+
+
+@partial(jax.jit, static_argnames=("swap_red_and_blue",))
+def encode_dxt1_hq_blocks(rgb: jax.Array,
+                          swap_red_and_blue: bool = False) -> jax.Array:
+    """(N, 16, 3) int32 -> (N, 8) uint8 high-quality DXT1 blocks
+    (see :func:`_encode_dxt1_hq`)."""
+    return _encode_dxt1_hq(rgb, swap_red_and_blue)
+
+
+@partial(jax.jit, static_argnames=("swap_red_and_blue",))
+def encode_dxt1_hq_image(image: jax.Array,
+                         swap_red_and_blue: bool = False) -> jax.Array:
+    """(H, W, 3) uint8 (H, W multiples of 4) -> (N, 8) uint8 HQ DXT1
+    blocks — byte-identical to encode_dxt1_hq_blocks(image_to_blocks(im))
+    but the block extraction runs as pack-to-u32 + one 2-D 32-bit
+    transpose instead of the generic 5-D int32 transpose XLA lowers
+    image_to_blocks to (~8 ms fused at 1024^2,
+    tools/profile_etc_hq_scale.py). For BGR pass the raw BGR image plus
+    ``swap_red_and_blue=True`` (pack swaps to RGB channel order)."""
+    from texcomp.blocks import blocks_from_packed_words
+    from texcomp.ops.dxt_pallas import pack_rgb_image
+
+    words = pack_rgb_image(image, swap=swap_red_and_blue)  # (16, N)
+    rgb = blocks_from_packed_words(words, 3)
+    return _encode_dxt1_hq(rgb, swap_red_and_blue, pixel_words=words)
 
 
 # Alpha ramp interpolation weights of entry k as (w0, w1) per scheme.
@@ -826,21 +944,24 @@ def _hq_alpha(a, ref_a0, ref_a1, ref_codes_err):
     return st[0], st[1], st[2]
 
 
-def _ref_dxt5_blockbytes(rgb, full_outside, swap: bool):
+def _ref_dxt5_blockbytes(rgb, full_outside, swap: bool, pixel_words=None):
     """The reference DXT5 encoding as (N, 16) int32 block bytes: Pallas
     word kernel on accelerators (bit-identical, test_pallas.py), jnp
-    reference path on CPU."""
+    reference path on CPU. ``pixel_words``: optional (16, N) uint32
+    packed RGBA pixels (pack_rgba_image layout) to skip the repack."""
     from texcomp import ops as _ops
 
     if _ops.use_pallas():
         from texcomp.ops import dxt_pallas
 
-        px = (rgb[:, :, 0].astype(jnp.uint32)
-              | (rgb[:, :, 1].astype(jnp.uint32) << 8)
-              | (rgb[:, :, 2].astype(jnp.uint32) << 16)
-              | (rgb[:, :, 3].astype(jnp.uint32) << 24))  # (N, 16)
+        if pixel_words is None:
+            px = (rgb[:, :, 0].astype(jnp.uint32)
+                  | (rgb[:, :, 1].astype(jnp.uint32) << 8)
+                  | (rgb[:, :, 2].astype(jnp.uint32) << 16)
+                  | (rgb[:, :, 3].astype(jnp.uint32) << 24))  # (N, 16)
+            pixel_words = px.T
         w17 = jnp.concatenate(
-            [px.T, full_outside.astype(jnp.uint32)[None, :]], axis=0)
+            [pixel_words, full_outside.astype(jnp.uint32)[None, :]], axis=0)
         words = dxt_pallas.encode_dxt5_words(w17, swap=swap)  # (4, N)
         return jnp.stack(
             [((words[k // 4] >> (8 * (k % 4))) & jnp.uint32(255))
@@ -849,14 +970,15 @@ def _ref_dxt5_blockbytes(rgb, full_outside, swap: bool):
         rgb, full_outside, swap_red_and_blue=swap).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("swap_red_and_blue",))
-def encode_dxt5_hq_blocks(rgb: jax.Array, full_outside: jax.Array,
-                          swap_red_and_blue: bool = False) -> jax.Array:
-    """(N, 16, 4) int32 -> (N, 16) uint8: HQ color endpoints AND HQ alpha
+def _encode_dxt5_hq(rgb, full_outside, swap_red_and_blue: bool,
+                    pixel_words=None):
+    """Shared body of encode_dxt5_hq_blocks / encode_dxt5_hq_image:
+    (N, 16, 4) int32 -> (N, 16) uint8 — HQ color endpoints AND HQ alpha
     endpoints, each per-block best-of vs the reference encoder (never
     worse); payloads remain standard DXT5. For BGRA pass pre-swapped
     blocks + ``swap_red_and_blue=True`` (see encode_dxt1_hq_blocks)."""
-    ref_full = _ref_dxt5_blockbytes(rgb, full_outside, swap_red_and_blue)
+    ref_full = _ref_dxt5_blockbytes(rgb, full_outside, swap_red_and_blue,
+                                    pixel_words)
 
     # --- color half (always-4-color decode rule) ---
     rgb3 = rgb[:, :, :3]
@@ -894,3 +1016,28 @@ def encode_dxt5_hq_blocks(rgb: jax.Array, full_outside: jax.Array,
         [a0[:, None], a1[:, None], alpha_bytes, color], axis=-1
     )
     return out.astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("swap_red_and_blue",))
+def encode_dxt5_hq_blocks(rgb: jax.Array, full_outside: jax.Array,
+                          swap_red_and_blue: bool = False) -> jax.Array:
+    """(N, 16, 4) int32 -> (N, 16) uint8 HQ DXT5 blocks
+    (see :func:`_encode_dxt5_hq`)."""
+    return _encode_dxt5_hq(rgb, full_outside, swap_red_and_blue)
+
+
+@partial(jax.jit, static_argnames=("swap_red_and_blue",))
+def encode_dxt5_hq_image(image: jax.Array,
+                         swap_red_and_blue: bool = False) -> jax.Array:
+    """(H, W, 4) uint8 (H, W multiples of 4; no outside blocks) ->
+    (N, 16) uint8 HQ DXT5 blocks via the packed-word block extraction
+    (see encode_dxt1_hq_image). For BGRA pass the raw BGRA image plus
+    ``swap_red_and_blue=True``."""
+    from texcomp.blocks import blocks_from_packed_words
+    from texcomp.ops.dxt_pallas import pack_rgba_image
+
+    words = pack_rgba_image(image, swap=swap_red_and_blue)  # (16, N)
+    rgba = blocks_from_packed_words(words, 4)
+    outside = jnp.zeros((rgba.shape[0],), dtype=bool)
+    return _encode_dxt5_hq(rgba, outside, swap_red_and_blue,
+                           pixel_words=words)

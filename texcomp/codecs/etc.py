@@ -706,20 +706,25 @@ def _hq_base_candidates(rgb: jax.Array, flip: bool):
 
 
 def _encode_etc1_hq_blocks_pallas(rgb: jax.Array,
-                                  interpret: bool = False) -> jax.Array:
+                                  interpret: bool = False,
+                                  pixel_words=None) -> jax.Array:
     """Device path of :func:`encode_etc1_hq_blocks`: candidate bases are
     generated in XLA (cheap — 1.6 ms total at 512^2), then ONE Pallas
     kernel per flip scores every candidate, runs the two alternating
     refits, and probes the ±1 neighborhood with the pixel planes resident
     in VMEM (the XLA _finish_flip route materializes an (N, 16, 8, 4)
     error tensor in HBM per candidate: 550 ms at 512^2 for the ~66
-    candidates per flip, tools/profile_hq_stages.py)."""
+    candidates per flip, tools/profile_hq_stages.py). ``pixel_words``:
+    optional (16, N) uint32 packed pixels (pack_rgb_image layout) to
+    skip the repack + transpose."""
     from texcomp.ops import etc_pallas as ep
 
-    px = (rgb[:, :, 0].astype(jnp.uint32)
-          | (rgb[:, :, 1].astype(jnp.uint32) << 8)
-          | (rgb[:, :, 2].astype(jnp.uint32) << 16))  # (N, 16)
-    words_nat = px.T  # (16, N)
+    if pixel_words is None:
+        px = (rgb[:, :, 0].astype(jnp.uint32)
+              | (rgb[:, :, 1].astype(jnp.uint32) << 8)
+              | (rgb[:, :, 2].astype(jnp.uint32) << 16))  # (N, 16)
+        pixel_words = px.T
+    words_nat = pixel_words  # (16, N)
     words_perm = words_nat[np.asarray(ep._PERM_F), :]
 
     best = None
@@ -781,6 +786,30 @@ def encode_etc1_hq_blocks(rgb: jax.Array) -> jax.Array:
     if _ops.use_pallas():
         return _encode_etc1_hq_blocks_pallas(rgb)
 
+    return _encode_etc1_hq_blocks_xla(rgb)
+
+
+@jax.jit
+def encode_etc1_hq_image(image: jax.Array) -> jax.Array:
+    """(H, W, 3) uint8 (H, W multiples of 4) -> (N, 8) uint8 HQ ETC1
+    blocks — byte-identical to encode_etc1_hq_blocks(image_to_blocks(im))
+    but block extraction runs as pack-to-u32 + one 2-D 32-bit transpose
+    instead of the generic 5-D int32 transpose (~18 ms fused at 512^2,
+    tools/profile_etc_hq_scale.py), and the packed words feed the Pallas
+    search kernel directly."""
+    from texcomp import ops as _ops
+    from texcomp.blocks import blocks_from_packed_words
+    from texcomp.ops.dxt_pallas import pack_rgb_image
+
+    words = pack_rgb_image(image)  # (16, N)
+    rgb = blocks_from_packed_words(words, 3)
+    if _ops.use_pallas():
+        return _encode_etc1_hq_blocks_pallas(rgb, pixel_words=words)
+    return _encode_etc1_hq_blocks_xla(rgb)
+
+
+def _encode_etc1_hq_blocks_xla(rgb: jax.Array) -> jax.Array:
+    """CPU/XLA path of :func:`encode_etc1_hq_blocks`."""
     best = None
     for flip in (False, True):
         def finish(q1_555, q2_555, q1_444, q2_444, flip=flip):

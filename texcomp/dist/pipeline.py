@@ -66,35 +66,54 @@ class TextureAsset:
 def _batch_encode_hq(images: jax.Array, codec: str,
                      swap: bool = False) -> jax.Array:
     """quality="high" fleet path: the HQ extension encoders, batched.
-    Payloads stay standard; every encoder is never-worse vs reference."""
+    Payloads stay standard; every encoder is never-worse vs reference.
+
+    images: (B, H, W, C) uint8, or (B, H, W) uint32 packed RGBA words.
+    Block extraction runs on packed u32 words (pack + one 32-bit
+    transpose per image, then blocks_from_packed_words) — byte-identical
+    to the vmap(image_to_blocks) route but without the generic 5-D int32
+    transpose XLA lowers it to (tools/profile_etc_hq_scale.py); the
+    packed words also feed the Pallas reference/search kernels directly.
+    The block HQ encoders are purely per-block, so flattening the batch
+    is byte-identical to a vmap and feeds the device ONE big batch."""
+    from texcomp import ops as _ops
+    from texcomp.blocks import blocks_from_packed_words
     from texcomp.codecs import dxt_hq, etc
     from texcomp.codecs.pvrtc_hq import (encode_pvrtc_2bpp_hq_device,
                                          encode_pvrtc_4bpp_hq_device)
+    from texcomp.ops import dxt_pallas
 
-    if codec == "pvrtc":
-        return jax.vmap(encode_pvrtc_2bpp_hq_device)(images)
-    if codec == "pvrtc4":
+    words_in = images.ndim == 3
+    if codec in ("pvrtc", "pvrtc4"):
+        if words_in:
+            images = jax.lax.bitcast_convert_type(images, jnp.uint8)
+        if codec == "pvrtc":
+            return jax.vmap(encode_pvrtc_2bpp_hq_device)(images)
         return jax.vmap(encode_pvrtc_4bpp_hq_device)(images)
 
     b = images.shape[0]
     n = (images.shape[1] // 4) * (images.shape[2] // 4)
-    blocks = jax.vmap(image_to_blocks)(images)
-    if swap:  # blocks pre-swapped to RGB order, quirk flag threaded below
-        blocks = jnp.concatenate(
-            [blocks[..., 2::-1], blocks[..., 3:]], axis=-1)
-    # The block HQ encoders are purely per-block: flattening the batch is
-    # byte-identical to a vmap, feeds the device ONE big batch (better
-    # lane occupancy at small sizes), and keeps the Pallas HQ search
-    # kernels off the vmap path.
-    flat = blocks.reshape(b * n, 16, blocks.shape[-1])
+    if words_in:  # packed RGBA words; swap means the bytes are BGRA
+        m = _swap_rb_words(images) if swap else images
+        wpi = jax.vmap(dxt_pallas._block_transpose_u32)(m)  # (B, 16, N)
+    elif codec == "dxt5":
+        wpi = jax.vmap(
+            lambda im: dxt_pallas.pack_rgba_image(im, swap=swap))(images)
+    else:
+        wpi = jax.vmap(
+            lambda im: dxt_pallas.pack_rgb_image(im, swap=swap))(images)
+    words = wpi.transpose(1, 0, 2).reshape(16, b * n)
+    flat = blocks_from_packed_words(words, 4 if codec == "dxt5" else 3)
     if codec == "dxt1":
-        out = dxt_hq.encode_dxt1_hq_blocks(flat, swap_red_and_blue=swap)
+        out = dxt_hq._encode_dxt1_hq(flat, swap, pixel_words=words)
     elif codec == "dxt5":
         outside = jnp.zeros((b * n,), dtype=bool)
-        out = dxt_hq.encode_dxt5_hq_blocks(flat, outside,
-                                           swap_red_and_blue=swap)
+        out = dxt_hq._encode_dxt5_hq(flat, outside, swap,
+                                     pixel_words=words)
+    elif _ops.use_pallas():
+        out = etc._encode_etc1_hq_blocks_pallas(flat, pixel_words=words)
     else:
-        out = etc.encode_etc1_hq_blocks(flat)
+        out = etc._encode_etc1_hq_blocks_xla(flat)
     return out.reshape(b, n, -1)
 
 
@@ -204,8 +223,6 @@ def _batch_encode(images: jax.Array, codec: str, strategy: int,
     n = (h // 4) * (w // 4)
 
     if quality == "high":
-        if words_in:
-            images = jax.lax.bitcast_convert_type(images, jnp.uint8)
         return _batch_encode_hq(images, codec, swap)
 
     if codec == "pvrtc":

@@ -867,3 +867,168 @@ def words_to_blocks(words: jax.Array) -> jax.Array:
     free)."""
     w = words.T  # (N, wpb)
     return jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(w.shape[0], -1)
+
+
+# ---------------------------------------------------------------------------
+# HQ cluster-fit top-4 selection kernel.
+#
+# The XLA scoring of the 969 contiguous partitions materializes several
+# barrier-pinned (N, 969) f32 HBM planes (~11 ms of the 16.7 ms HQ encode
+# at 1024^2, tools/profile_hq_stages.py "cur +score"); here every score
+# tile lives in VMEM. Per grid tile the 969 partitions are walked in 8
+# static chunks of 128 (partition order preserved = tie-break order):
+#   uc_c = sel_chunk @ P_c           exact-int via hi/lo-byte bf16 dots
+#   A    = sum_c uc_c^2              int32 (<= 4.5e8, exact)
+#   B    = sum_c pt_c * uc_c         int32 (<= 1.5e8, exact)
+#   score = (quu*A + qut*B) + qtt*ptt + bias     f32, fixed op tree
+# then a strict-> insertion network keeps the global top-4 (value + the
+# pick payload u0,u1,u2,alpha,beta,delta) in registers. The byte-exact
+# jnp twin is codecs.dxt_hq._cluster_fit_chunk: identical integer
+# A/B/ptt, identical f32 tree (pinned there with optimization_barrier
+# against XLA's fma contraction; Mosaic lowers mul and add literally).
+# ---------------------------------------------------------------------------
+
+_CF_NEG = -3.4e38  # below any real partition score; pad-row bias
+
+
+def cf_score(a_i, b_i, ptt_i, quu_h, quu_l, qut_h, qut_l, qtt_h, qtt_l,
+             bias=None):
+    """Contraction-immune cluster-fit score, shared op tree for the
+    Pallas kernel and the jnp twin (codecs.dxt_hq). a_i/b_i/ptt_i are
+    exact int32; constants arrive bf16 hi/lo-split. Every product
+    multiplies two <= 8-bit-mantissa values (exactly representable in
+    f32), so fma contraction cannot change a bit on any backend; the
+    add tree is fixed by this expression."""
+    def split(v):
+        vf = v.astype(jnp.float32)
+        vh = vf.astype(jnp.bfloat16).astype(jnp.float32)
+        vl = (vf - vh).astype(jnp.bfloat16).astype(jnp.float32)
+        return vh, vl
+
+    def term(qh, ql, v):
+        vh, vl = split(v)
+        return (qh * vh + qh * vl) + ql * vh
+
+    s = ((term(quu_h, quu_l, a_i) + term(qut_h, qut_l, b_i))
+         + term(qtt_h, qtt_l, ptt_i))
+    return s if bias is None else s + bias
+
+
+def _cf_topk_kernel(p72_ref, selt_ref, qtab_ref, out_ref, *, n_chunks):
+    p = p72_ref[:].astype(jnp.float32)  # (72, T): 3 x 24-row P planes
+    pc = [p[0:24], p[24:48], p[48:72]]
+    # hi/lo byte split: P values are integer-valued <= 4080; bf16 holds
+    # integers <= 256 exactly, so each dot is exact and the f32 recombine
+    # (<= 12240 < 2^24) too.
+    hi = [jnp.floor(c * (1.0 / 256.0)) for c in pc]
+    lo = [c - 256.0 * h for c, h in zip(pc, hi)]
+    hi = [h.astype(jnp.bfloat16) for h in hi]
+    lo = [l.astype(jnp.bfloat16) for l in lo]
+    pti = [pc[c][16:17].astype(jnp.int32) for c in range(3)]  # (1, T)
+    ptt = pti[0] * pti[0] + pti[1] * pti[1] + pti[2] * pti[2]  # int32 exact
+    pttf = ptt.astype(jnp.float32)
+
+    t = p.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (128, t), 0)
+    # Top-4 slots: value + payload (u0, u1, u2, alpha, beta, delta).
+    slots = [[jnp.full((1, t), _CF_NEG, jnp.float32)] +
+             [jnp.zeros((1, t), jnp.float32) for _ in range(6)]
+             for _ in range(4)]
+
+    for chunk in range(n_chunks):
+        sel = selt_ref[pl.ds(128 * chunk, 128), :].astype(jnp.bfloat16)
+        qc = qtab_ref[pl.ds(128 * chunk, 128), :]  # (128, 8) f32
+        ucf = []
+        for c in range(3):
+            dh = jax.lax.dot_general(
+                sel, hi[c], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dl = jax.lax.dot_general(
+                sel, lo[c], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ucf.append(dh * 256.0 + dl)  # (128, T) exact ints
+        uci = [u.astype(jnp.int32) for u in ucf]
+        a_i = uci[0] * uci[0] + uci[1] * uci[1] + uci[2] * uci[2]
+        b_i = pti[0] * uci[0] + pti[1] * uci[1] + pti[2] * uci[2]
+        # Contraction-immune score (see cf_score): each hi+lo factor
+        # carries ~2^-16 relative accuracy, so the ranking perturbation
+        # vs the exact score is ~3e-5 — and the exact downstream
+        # re-scoring keeps the encode never-worse regardless.
+        score = cf_score(a_i, b_i, ptt, qc[:, 0:1], qc[:, 1:2],
+                         qc[:, 2:3], qc[:, 3:4], qc[:, 4:5], qc[:, 5:6],
+                         bias=qc[:, 6:7])
+
+        for _ in range(4):
+            m = jnp.max(score, axis=0, keepdims=True)  # (1, T)
+            r = jnp.min(jnp.where(score == m, rows, 128), axis=0,
+                        keepdims=True)  # first row achieving the max
+            pick = rows == r  # (128, T) one-hot rows
+            pickf = pick.astype(jnp.float32)
+            payload = [m]
+            for c in range(3):
+                payload.append(jnp.sum(jnp.where(pick, ucf[c], 0.0),
+                                       axis=0, keepdims=True))
+            for col in (8, 9, 10):  # alpha, beta, delta
+                payload.append(jnp.sum(pickf * qc[:, col:col + 1],
+                                       axis=0, keepdims=True))
+            score = jnp.where(pick, _CF_NEG, score)
+
+            # Shift-insert into the sorted slots: strict > displaces, so
+            # ties keep the earlier (lower partition index) candidate —
+            # global first-occurrence argmax semantics, matching the jnp
+            # iterated-argmax picks.
+            pos = None
+            for s in range(4):
+                ge = (payload[0] <= slots[s][0]).astype(jnp.int32)
+                pos = ge if pos is None else pos + ge
+            new_slots = []
+            for s in range(4):
+                take = pos == s
+                shift = pos < s
+                new_slots.append([
+                    jnp.where(take, payload[f],
+                              jnp.where(shift, slots[s - 1][f], slots[s][f]))
+                    for f in range(7)])
+            slots = new_slots
+
+    out_ref[:] = jnp.concatenate(
+        [slots[s][f] for s in range(4) for f in range(1, 7)], axis=0)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def cluster_topk4(p72: jax.Array, selt: jax.Array, qtab: jax.Array,
+                  interpret: bool = False) -> jax.Array:
+    """Top-4 cluster-fit partitions per block, with pick payloads.
+
+    p72: (72, N) f32 — rows [24c + r] = channel c's descending-projection
+    prefix sum P[r] (r in 0..16; rows 17-23 zero). selt: (P4, 24) f32 —
+    row p = partition p's prefix-selection vector (cols 17-23 zero); P4 a
+    multiple of 128, pad rows all-zero. qtab: (P4, 16) f32 — columns
+    [quu_h, quu_l, qut_h, qut_l, qtt_h, qtt_l, bias, 0, alpha, beta,
+    delta, 0...] (constants bf16 hi/lo-split, dxt_hq._split_bf16); bias
+    0 for real rows, _CF_NEG for pads. Returns (24, N) f32: rows
+    [6k..6k+6) = pick k's (u0, u1, u2, alpha, beta, delta), picks in
+    descending score order.
+    """
+    n = p72.shape[1]
+    tile = min(512, _tile_for(n))
+    p72 = _pad_lanes(p72, tile)
+    np_ = p72.shape[1]
+    n_chunks = selt.shape[0] // 128
+    out = pl.pallas_call(
+        partial(_cf_topk_kernel, n_chunks=n_chunks),
+        grid=(np_ // tile,),
+        in_specs=[
+            pl.BlockSpec((72, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(selt.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(qtab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((24, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((24, np_), jnp.float32),
+        interpret=interpret,
+    )(p72, selt, qtab)
+    return out[:, :n]

@@ -113,6 +113,89 @@ def profile_dxt1(size=1024):
         sp = jnp.take_along_axis(xf, order[:, :, None], axis=1)
         return s32(sp)
 
+    def cf_rank_prefix(x):
+        """The CURRENT _cluster_fit_chunk front half: stable-rank masked
+        prefix sums (no sort, no gather)."""
+        xf = x.astype(jnp.float32)
+        _, _, t = hq._pca_project(xf)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 16), 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 16), 2)
+        tj = t[:, None, :]
+        ti = t[:, :, None]
+        rank = jnp.sum(
+            ((tj > ti) | ((tj == ti) & (jj < ii))).astype(jnp.int32), axis=2)
+        p = jnp.stack(
+            [jnp.sum(jnp.where((rank < r)[:, :, None], xf, 0.0), axis=1)
+             for r in range(17)], axis=1)
+        return s32(p)
+
+    def _cur_prefix(x):
+        xf = x.astype(jnp.float32)
+        _, _, t = hq._pca_project(xf)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 16), 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 16), 2)
+        tj = t[:, None, :]
+        ti = t[:, :, None]
+        rank = jnp.sum(
+            ((tj > ti) | ((tj == ti) & (jj < ii))).astype(jnp.int32), axis=2)
+        p = jnp.stack(
+            [jnp.sum(jnp.where((rank < r)[:, :, None], xf, 0.0), axis=1)
+             for r in range(17)], axis=1)
+        return p
+
+    def cf_score_cur(x):
+        """rank+prefix + the CURRENT score loop (barriered), summed
+        instead of top-k'd — isolates score materialization cost."""
+        n = x.shape[0]
+        p = jax.lax.optimization_barrier(_cur_prefix(x))
+        pt = p[:, 16, :]
+        sel = jnp.asarray(hq._CF_SEL)
+        score = jnp.zeros((n, hq._CF_SEL.shape[1]), jnp.float32)
+        quu, qut = jnp.asarray(hq._CF_QUU), jnp.asarray(hq._CF_QUT)
+        _nc = jax.lax.optimization_barrier
+        for c in range(3):
+            uc = jnp.matmul(p[:, :, c], sel, precision=hq._F32)
+            score = score + _nc(
+                (_nc(quu[None, :] * uc) + _nc(qut[None, :] * pt[:, c, None]))
+                * uc)
+        score = score + _nc(
+            jnp.asarray(hq._CF_QTT)[None, :] * jnp.sum(pt * pt, -1)[:, None])
+        score = jax.lax.optimization_barrier(score)
+        return s32(jnp.max(score, axis=1))
+
+    def cf_top4_cur(x):
+        """rank+prefix + score + the CURRENT iterated-argmax top-4 picks
+        (no LS/quantize tail): the full candidate-selection front end."""
+        n = x.shape[0]
+        p = jax.lax.optimization_barrier(_cur_prefix(x))
+        pt = p[:, 16, :]
+        sel = jnp.asarray(hq._CF_SEL)
+        score = jnp.zeros((n, hq._CF_SEL.shape[1]), jnp.float32)
+        quu, qut = jnp.asarray(hq._CF_QUU), jnp.asarray(hq._CF_QUT)
+        _nc = jax.lax.optimization_barrier
+        for c in range(3):
+            uc = jnp.matmul(p[:, :, c], sel, precision=hq._F32)
+            score = score + _nc(
+                (_nc(quu[None, :] * uc) + _nc(qut[None, :] * pt[:, c, None]))
+                * uc)
+        score = score + _nc(
+            jnp.asarray(hq._CF_QTT)[None, :] * jnp.sum(pt * pt, -1)[:, None])
+        score = jax.lax.optimization_barrier(score)
+        npart = hq._CF_SEL.shape[1]
+        pick_tab = jnp.asarray(hq._CF_PICK)
+        iota_p = jax.lax.broadcasted_iota(jnp.int32, (1, npart), 1)
+        acc = None
+        for k in range(4):
+            kidx = jnp.argmax(score, axis=1)
+            onehot = (kidx[:, None] == iota_p).astype(jnp.float32)
+            if k + 1 < 4:
+                score = jax.lax.optimization_barrier(
+                    jnp.where(onehot != 0.0, -jnp.inf, score))
+            picked = jnp.matmul(onehot, pick_tab, precision=hq._F32)
+            v = s32(picked)
+            acc = v if acc is None else acc + v
+        return acc
+
     def cf_score_topk(x):
         xf = x.astype(jnp.float32)
         _, _, t = hq._pca_project(xf)
@@ -153,6 +236,9 @@ def profile_dxt1(size=1024):
         ("cluster_fit (full)", cluster_fit),
         ("cluster sort+gather", cf_sort_only),
         ("cluster score+topk", cf_score_topk),
+        ("cur rank+prefix", cf_rank_prefix),
+        ("cur +score", cf_score_cur),
+        ("cur +top4 picks", cf_top4_cur),
         ("one _true_block_error(+ref enc)", true_err3),
     ]
     for name, fn in stages:
