@@ -329,7 +329,14 @@ def bench_pipeline_fleet_hq() -> float:
     (hero assets), the rest through the reference-parity path. Same
     distribution and timing discipline as bench_pipeline_fleet; the
     number is the blended fleet throughput, so it is only fleet-viable if
-    the HQ paths are fast (VERDICT r4 #6)."""
+    the HQ paths are fast (VERDICT r4 #6).
+
+    One timed program per (codec, size) cell — NOT one per codec like
+    bench_pipeline_fleet: a single program holding six HQ encoder
+    instances plus six reference instances is a large enough HLO that
+    the axon remote-compile helper gets OOM-killed (SIGKILL'd subprocess,
+    observed 2026-08-20), and the real pipeline compiles per
+    (codec, shape-bucket) programs anyway."""
     from texcomp.dist.pipeline import _batch_encode
 
     rng = np.random.default_rng(0)
@@ -343,24 +350,19 @@ def bench_pipeline_fleet_hq() -> float:
                 arr = arr.view(np.uint32).reshape(count, size, size)
             return jax.device_put(arr)
 
-        batches = []
+        def op(xs, codec=codec):
+            std, hq = xs
+            a = _batch_encode(std, codec, 2)
+            b = _batch_encode(hq, codec, 2, quality="high")
+            return (a.astype(jnp.uint32).sum()
+                    + b.astype(jnp.uint32).sum())[None]
+
         for size, count in _FLEET_DIST:
             n_hq = max(1, count // 10)
-            batches.append((_put(size, count - n_hq), _put(size, n_hq)))
+            cell = (_put(size, count - n_hq), _put(size, n_hq))
             total_pix += count * size * size
-        batches = tuple(batches)
-
-        def op(xs, codec=codec):
-            sums = []
-            for std, hq in xs:
-                a = _batch_encode(std, codec, 2)
-                b = _batch_encode(hq, codec, 2, quality="high")
-                sums.append(a.astype(jnp.uint32).sum()
-                            + b.astype(jnp.uint32).sum())
-            return jnp.stack(sums)
-
-        total_dt += _time_op(op, batches, iters=3, reps=2)
-        del batches
+            total_dt += _time_op(op, cell, iters=3, reps=2)
+            del cell
     return total_pix / total_dt / 1e6
 
 

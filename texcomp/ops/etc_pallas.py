@@ -47,6 +47,13 @@ HEURISTIC = 3
 
 _U32 = jnp.uint32
 
+# Perf-probe knob (tools/probe_etc_prune_ceiling.py): number of codewords
+# the kSmallerError search evaluates. ANY value below 8 breaks byte
+# parity — it exists only to measure the upper bound a codeword-pruning
+# scheme could ever reach (the win if pruning were free and every lane
+# agreed). Never set this outside the probe tool.
+_N_CW_PROBE = 8
+
 
 
 def _clamp8(v):
@@ -117,7 +124,7 @@ def _subblock_search(pg, base, heuristic: bool):
         # Per-codeword best-modifier subblock errors, then first-occurrence
         # argmin over 8 codewords (etc_compressor.cc:350-409).
         per_cw_err = []
-        for k in range(8):
+        for k in range(_N_CW_PROBE):
             best = None
             for m in range(4):
                 e = mod_err(float(cb[k, m]))
@@ -125,7 +132,7 @@ def _subblock_search(pg, base, heuristic: bool):
             per_cw_err.append(jnp.sum(best, axis=0, keepdims=True))
         err = per_cw_err[0]
         cw = jnp.zeros(err.shape, jnp.int32)
-        for k in range(1, 8):
+        for k in range(1, _N_CW_PROBE):
             better = per_cw_err[k] < err
             cw = jnp.where(better, k, cw)
             err = jnp.where(better, per_cw_err[k], err)

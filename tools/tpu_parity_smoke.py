@@ -91,6 +91,10 @@ def _paths():
         (rgba,))
     paths["etc1_hq"] = (
         lambda im: etc_c.encode_etc1_hq_blocks(image_to_blocks(im)), (rgb,))
+    # Round-5 packed-word image-level HQ entries (must equal the
+    # blocks-level results bit-for-bit on every backend).
+    paths["dxt1_hq_image"] = (dxt_hq.encode_dxt1_hq_image, (rgb,))
+    paths["etc1_hq_image"] = (etc_c.encode_etc1_hq_image, (rgb,))
 
     # Decode + transcode + mipmaps run on a fixed DXT1/ETC1 payload.
     from texcomp.codecs import dxt as dxt_c
@@ -138,6 +142,10 @@ def _paths():
                        ("dxt5", stack4), ("pvrtc", stack4)):
         paths[f"fleet_{codec}"] = (
             lambda x, codec=codec: _batch_encode(x, codec, 2), (arr,))
+        # quality="high" fleet route (round-5 packed-words path).
+        paths[f"fleet_hq_{codec}"] = (
+            lambda x, codec=codec: _batch_encode(x, codec, 2,
+                                                 quality="high"), (arr,))
     return paths
 
 
