@@ -108,6 +108,8 @@ def _least_squares_endpoints(rgb_f, codes, w0_tab=None, w1_tab=None,
     s = float(scale)
     rgb_i = rgb_f.astype(jnp.int32)
 
+    rdet = _det_recip(det_f)  # hardware divide is NOT backend-stable
+    _nc = jax.lax.optimization_barrier
     e0 = []
     e1 = []
     for ch in range(3):
@@ -115,10 +117,11 @@ def _least_squares_endpoints(rgb_f, codes, w0_tab=None, w1_tab=None,
         b0 = jnp.sum(w0 * px, axis=1)
         b1 = jnp.sum(w1 * px, axis=1)
         # Numerators in int32 (|.| <= scale^2*16 * scale*255*16 < 2^31):
-        # the ONLY rounding is the final int->f32 conversion + divide,
-        # both IEEE-deterministic across backends.
-        x0 = s * (a11 * b0 - a01 * b1).astype(jnp.float32) / det_f
-        x1 = s * (a00 * b1 - a01 * b0).astype(jnp.float32) / det_f
+        # the only roundings are the int->f32 conversion and the two
+        # pinned muls below — all individually IEEE-rounded, so the
+        # result is bit-identical across backends.
+        x0 = _nc(_nc(s * (a11 * b0 - a01 * b1).astype(jnp.float32)) * rdet)
+        x1 = _nc(_nc(s * (a00 * b1 - a01 * b0).astype(jnp.float32)) * rdet)
         # Degenerate (all pixels on one endpoint): keep that endpoint.
         fallback = jnp.sum(px, axis=1).astype(jnp.float32) / 16.0
         e0.append(jnp.clip(jnp.where(safe, x0, fallback), 0.0, 255.0))
@@ -127,10 +130,13 @@ def _least_squares_endpoints(rgb_f, codes, w0_tab=None, w1_tab=None,
 
 
 def _quantize_endpoints(e0, e1):
-    """Round float endpoints to packed 565."""
+    """Round float endpoints to packed 565. The 31/255 and 63/255 factors
+    are host-precomputed f32 constants so quantization is ONE deterministic
+    mul + round — `v * m / 255.0` would end in a hardware divide, which is
+    backend-dependent in the last ulp on TPU (see _det_recip)."""
     q = lambda v, bits: jnp.clip(
-        jnp.round(v * ((1 << bits) - 1) / 255.0), 0, (1 << bits) - 1
-    ).astype(jnp.int32)
+        jnp.round(v * np.float32(((1 << bits) - 1) / 255.0)),
+        0, (1 << bits) - 1).astype(jnp.int32)
     c0 = (q(e0[0], 5) << 11) | (q(e0[1], 6) << 5) | q(e0[2], 5)
     c1 = (q(e1[0], 5) << 11) | (q(e1[1], 6) << 5) | q(e1[2], 5)
     return c0, c1
@@ -170,9 +176,13 @@ def _pca_project(rgb_f):
     for _ in range(3):
         w = [_nc(cov[i][0] * v[0]) + _nc(cov[i][1] * v[1])
              + _nc(cov[i][2] * v[2]) for i in range(3)]
-        nrm = jnp.sqrt(_nc(w[0] * w[0]) + _nc(w[1] * w[1])
-                       + _nc(w[2] * w[2])) + 1e-6
-        v = [wi / nrm for wi in w]
+        # Normalize with the deterministic Newton rsqrt: jnp.sqrt and the
+        # hardware divide are both backend-dependent in the last ulp on
+        # TPU (see _det_recip). The 1e-12 guard keeps solid blocks
+        # (w == 0) at v == 0 exactly, like the old sqrt(0) + 1e-6 path.
+        inv = _det_rsqrt(_nc(w[0] * w[0]) + _nc(w[1] * w[1])
+                         + _nc(w[2] * w[2]) + 1e-12)
+        v = [_nc(wi * inv) for wi in w]
     d = rgb_f - mean  # (N, 16, 3) — exact (x/16 fractions)
     t = (_nc(d[:, :, 0] * v[0][:, None]) + _nc(d[:, :, 1] * v[1][:, None])
          + _nc(d[:, :, 2] * v[2][:, None]))  # (N, 16)
@@ -282,6 +292,40 @@ def _split_bf16(x: np.ndarray):
     hi = _round_bf16(xf)
     lo = _round_bf16((xf - hi).astype(np.float32))
     return hi, lo
+
+
+def _det_recip(b):
+    """Deterministic f32 reciprocal: barrier-pinned Newton from a bit-hack
+    seed. Hardware f32 division is NOT cross-backend deterministic — the
+    TPU's is ~1 ulp off the CPU's correctly-rounded result, which flipped
+    quantized HQ endpoints on near-tie blocks (tools/tpu_parity_smoke.py,
+    2026-08-20). Every op here is an individually-rounded IEEE mul/add
+    (products pinned against fma contraction), so the result is
+    bit-identical on every backend; 4 Newton steps reach ~1 ulp of 1/b
+    over [1e-12, 1e18] (brute-verified vs f64 on 2M log-uniform samples).
+    The value may differ from the correctly-rounded quotient in the last
+    ulp — deterministically, which is what the candidate search needs."""
+    _nc = jax.lax.optimization_barrier
+    bits = jax.lax.bitcast_convert_type(b.astype(jnp.float32), jnp.int32)
+    r = jax.lax.bitcast_convert_type(jnp.int32(0x7EF311C3) - bits,
+                                     jnp.float32)
+    for _ in range(4):
+        r = _nc(r * _nc(2.0 - _nc(b * r)))
+    return r
+
+
+def _det_rsqrt(x):
+    """Deterministic f32 1/sqrt(x) (see _det_recip): barrier-pinned Newton
+    from the classic 0x5F3759DF seed, 4 steps (~1 ulp over [1e-12, 2e17],
+    brute-verified vs f64). Replaces jnp.sqrt + divide, both of which are
+    backend-dependent in the last ulp on TPU."""
+    _nc = jax.lax.optimization_barrier
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    y = jax.lax.bitcast_convert_type(
+        jnp.int32(0x5F3759DF) - (bits >> 1), jnp.float32)
+    for _ in range(4):
+        y = _nc(y * _nc(1.5 - _nc(0.5 * _nc(x * _nc(y * y)))))
+    return y
 
 
 @lru_cache(maxsize=1)
@@ -422,7 +466,10 @@ def _cluster_fit_chunk(rgb_f, t, topk):
 
     c0s, c1s = [], []
     for uk, al, be, de in picks:
-        b0 = uk / 3.0
+        # One deterministic mul, not a backend-dependent hardware divide
+        # (see _det_recip); uk is an exact integer so the only rounding
+        # is this product's.
+        b0 = _nc(uk * np.float32(1.0 / 3.0))
         b1 = pt - b0
         e0 = jnp.clip(_nc(al * b0) + _nc(be * b1), 0.0, 255.0)
         e1 = jnp.clip(_nc(be * b0) + _nc(de * b1), 0.0, 255.0)
@@ -830,12 +877,14 @@ def _alpha_ls(a, codes, interp: bool):
     det = a00 * a11 - a01 * a01  # exact int32
     safe = det != 0
     det_f = jnp.where(safe, det, 1).astype(jnp.float32)
-    # int32 numerators (|.| <= 49*16 * 7*255*16 ~ 2.3e7 < 2^31); see
-    # _least_squares_endpoints.
-    x0 = s * (a11 * b0 - a01 * b1).astype(jnp.float32) / det_f
-    x1 = s * (a00 * b1 - a01 * b0).astype(jnp.float32) / det_f
-    mean = (jnp.sum(ai * free, axis=1).astype(jnp.float32)
-            / jnp.maximum(jnp.sum(free, axis=1), 1).astype(jnp.float32))
+    # int32 numerators (|.| <= 49*16 * 7*255*16 ~ 2.3e7 < 2^31); divides
+    # via the deterministic Newton reciprocal (see _det_recip).
+    _nc = jax.lax.optimization_barrier
+    rdet = _det_recip(det_f)
+    x0 = _nc(_nc(s * (a11 * b0 - a01 * b1).astype(jnp.float32)) * rdet)
+    x1 = _nc(_nc(s * (a00 * b1 - a01 * b0).astype(jnp.float32)) * rdet)
+    mean = _nc(jnp.sum(ai * free, axis=1).astype(jnp.float32) * _det_recip(
+        jnp.maximum(jnp.sum(free, axis=1), 1).astype(jnp.float32)))
     x0 = jnp.where(safe, x0, mean)
     x1 = jnp.where(safe, x1, mean)
     r = lambda v: jnp.clip(jnp.round(v), 0, 255).astype(jnp.int32)

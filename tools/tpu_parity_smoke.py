@@ -102,12 +102,21 @@ def _paths():
         dxt_c.encode_dxt1_blocks(jnp.asarray(blocks3)))
     e1_data = np.asarray(
         etc_c.encode_etc1_blocks(jnp.asarray(blocks3), 2))
+    # The decode ops return backend-specific layouts ((N, 16, C) pixel
+    # blocks on CPU, (H, W, 4) RGBX on TPU — ops/__init__.py:58-78);
+    # canonicalize both to an (H, W, 3) RGB image before comparing.
+    from texcomp.blocks import scatter_blocks
+
+    def _canon_decode(op, d):
+        out = jnp.asarray(op(d, 256, 256))
+        if out.ndim == 3 and out.shape[1] == 16:  # (N, 16, C) blocks
+            out = scatter_blocks(out[..., :3], height=256, width=256)
+        return out[..., :3].reshape(-1)
+
     paths["dxt1_decode"] = (
-        lambda d: jnp.asarray(dxt1_decode_image_op(d, 256, 256)).reshape(-1),
-        (d1_data,))
+        lambda d: _canon_decode(dxt1_decode_image_op, d), (d1_data,))
     paths["etc1_decode"] = (
-        lambda d: jnp.asarray(etc1_decode_image_op(d, 256, 256)).reshape(-1),
-        (e1_data,))
+        lambda d: _canon_decode(etc1_decode_image_op, d), (e1_data,))
 
     def transcode(d):
         from texcomp import ops as _ops
